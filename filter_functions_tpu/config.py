@@ -1,0 +1,66 @@
+"""Global configuration for filter_functions_tpu.
+
+Precision strategy
+------------------
+The library targets <=1e-10 parity with the NumPy reference
+(/root/reference/tests/test_precision.py tolerances), which requires
+double precision.  TPU hardware has no native complex128 -- on the
+available backend complex128 is entirely unsupported -- but *real*
+float64 is available (software-emulated).  All complex arithmetic in
+this package is therefore carried out on a split representation
+(see :mod:`filter_functions_tpu.cplx`): a complex tensor is a pytree of
+two real arrays ``(re, im)``.  With x64 enabled those are float64 and
+full double-precision results are obtained on TPU.
+
+``jax.config.update('jax_enable_x64', True)`` is applied at import time
+of the top-level package unless the environment variable
+``FF_TPU_NO_X64`` is set.
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+#: Whether x64 mode was requested (default yes).
+X64 = 'FF_TPU_NO_X64' not in os.environ
+
+if X64:
+    jax.config.update('jax_enable_x64', True)
+
+
+def float_dtype():
+    """The default real dtype (float64 under x64, float32 otherwise)."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def complex_dtype():
+    """The native complex dtype matching :func:`float_dtype`.
+
+    Only used at host boundaries and on backends with complex support
+    (CPU); device kernels use the split representation.
+    """
+    return jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64
+
+
+def eps() -> float:
+    """Machine epsilon of the default real dtype."""
+    import numpy as np
+    return float(np.finfo(np.dtype(float_dtype())).eps)
+
+
+def backend() -> str:
+    return jax.default_backend()
+
+
+def supports_native_complex() -> bool:
+    """True if the default backend supports the native complex dtype.
+
+    The CPU backend supports complex128; the axon/TPU backend does not
+    support complex128 at all (its x64 rewriter aborts), so whenever x64
+    is on and we are not on CPU we must avoid native complex arrays.
+    """
+    if not jax.config.jax_enable_x64:
+        return True  # complex64 works everywhere
+    return backend() == 'cpu'

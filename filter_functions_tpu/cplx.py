@@ -1,0 +1,565 @@
+"""Split-complex arithmetic for TPU.
+
+TPU hardware has no native complex128 (the available backend aborts on
+c128 HLO), while real float64 is supported through software emulation.
+This module therefore implements complex linear algebra on a *split*
+representation: a complex tensor is a :class:`C` pytree holding two real
+arrays ``(re, im)``.  All kernels in this package are written against
+:class:`C`, so they run with full double precision on TPU and compose
+with ``jit``/``vmap``/``grad``/``lax.scan`` like any other pytree.
+
+Design notes
+------------
+* Bilinear contractions (matmul, einsum) use Gauss's 3-multiplication
+  trick: for ``z = a*b`` with ``a = ar + i*ai``, ``b = br + i*bi``::
+
+      p1 = f(ar, br); p2 = f(ai, bi); p3 = f(ar + ai, br + bi)
+      re = p1 - p2;   im = p3 - p1 - p2
+
+  which turns 4 real contractions into 3 (a 25% FLOP cut on the MXU
+  path where the contraction dominates).
+* Multi-operand contractions (:func:`ceinsum`) are planned once with
+  ``opt_einsum.contract_path`` on the host (cached on shapes) and then
+  executed as a sequence of pairwise complex contractions.
+* Complex linear solves embed into the real block system
+  ``[[A, -B], [B, A]] @ [x; y] = [c; d]``.
+* Hermitian eigendecomposition (:func:`eigh`) uses the native complex
+  path on backends that support it (CPU) and a host callback elsewhere,
+  with a custom JVP implementing the standard first-order perturbation
+  formula so optimal-control gradients work on TPU.
+
+The reference package uses NumPy complex128 throughout; see e.g. the
+buffer-based helpers ``util.cexp``/``util.cexpm1``
+(/root/reference/filter_functions/util.py:136-182) that this module
+replaces with XLA-fusable equivalents.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import opt_einsum as oe
+from jax import lax
+from jax.tree_util import register_pytree_node_class
+
+from . import config
+
+Scalar = Union[int, float, complex]
+
+__all__ = ['C', 'asc', 'cexp', 'cexpm1', 'ceinsum', 'matmul', 'solve',
+           'eigh', 'where', 'abs2', 'geometric_series', 'matrix_power']
+
+
+@register_pytree_node_class
+class C:
+    """A complex tensor as a pytree of two real arrays ``(re, im)``.
+
+    Supports the arithmetic operators needed by the kernels in this
+    package.  ``C`` instances flow through ``jit``/``vmap``/``grad``
+    transparently.
+    """
+    __slots__ = ('re', 'im')
+    # Make numpy defer binary ops (e.g. ndarray * C) to C's reflected ops.
+    __array_priority__ = 100
+
+    def __init__(self, re, im=None):
+        re = jnp.asarray(re)
+        if im is None:
+            im = jnp.zeros_like(re)
+        else:
+            im = jnp.asarray(im)
+        self.re = re
+        self.im = im
+
+    # -- pytree protocol --------------------------------------------------
+    def tree_flatten(self):
+        return (self.re, self.im), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.re, obj.im = children
+        return obj
+
+    # -- basic info --------------------------------------------------------
+    @property
+    def shape(self):
+        return jnp.broadcast_shapes(self.re.shape, self.im.shape)
+
+    @property
+    def ndim(self):
+        return len(self.shape)
+
+    @property
+    def dtype(self):
+        return self.re.dtype
+
+    def __len__(self):
+        return self.shape[0]
+
+    def __repr__(self):
+        return f'C(shape={self.shape}, dtype={self.dtype})'
+
+    # -- conversion ---------------------------------------------------------
+    def to_numpy(self) -> np.ndarray:
+        """Materialize as a host numpy complex array."""
+        re, im = np.asarray(self.re), np.asarray(self.im)
+        ctype = np.complex128 if re.dtype == np.float64 else np.complex64
+        return (re + 1j * im).astype(ctype)
+
+    def to_native(self):
+        """Convert to a native jnp complex array (CPU backend only)."""
+        return lax.complex(self.re, self.im)
+
+    @property
+    def real(self):
+        return self.re
+
+    @property
+    def imag(self):
+        return self.im
+
+    def conj(self) -> 'C':
+        return C(self.re, -self.im)
+
+    # -- shape manipulation --------------------------------------------------
+    def _map(self, f) -> 'C':
+        return C(f(self.re), f(self.im))
+
+    def reshape(self, *shape) -> 'C':
+        return self._map(lambda a: a.reshape(*shape))
+
+    def swapaxes(self, a, b) -> 'C':
+        return self._map(lambda x: x.swapaxes(a, b))
+
+    def transpose(self, *axes) -> 'C':
+        return self._map(lambda x: x.transpose(*axes))
+
+    @property
+    def mT(self) -> 'C':
+        """Matrix transpose (swap last two axes)."""
+        return self.swapaxes(-1, -2)
+
+    @property
+    def H(self) -> 'C':
+        """Conjugate (matrix) transpose."""
+        return C(self.re.swapaxes(-1, -2), -self.im.swapaxes(-1, -2))
+
+    def squeeze(self, axis=None) -> 'C':
+        return self._map(lambda x: x.squeeze(axis))
+
+    def astype(self, dtype) -> 'C':
+        return self._map(lambda x: x.astype(dtype))
+
+    def broadcast_to(self, shape) -> 'C':
+        return self._map(lambda x: jnp.broadcast_to(x, shape))
+
+    def __getitem__(self, key) -> 'C':
+        return C(self.re[key], self.im[key])
+
+    def sum(self, axis=None, keepdims=False) -> 'C':
+        return self._map(lambda x: x.sum(axis=axis, keepdims=keepdims))
+
+    def cumsum(self, axis=0) -> 'C':
+        return self._map(lambda x: x.cumsum(axis=axis))
+
+    def trace(self, axis1=-2, axis2=-1) -> 'C':
+        return self._map(lambda x: jnp.trace(x, axis1=axis1, axis2=axis2))
+
+    def diagonal(self, offset=0, axis1=-2, axis2=-1) -> 'C':
+        return self._map(
+            lambda x: jnp.diagonal(x, offset=offset, axis1=axis1, axis2=axis2))
+
+    # -- arithmetic ----------------------------------------------------------
+    def __neg__(self) -> 'C':
+        return C(-self.re, -self.im)
+
+    def __add__(self, other) -> 'C':
+        o = asc(other)
+        return C(self.re + o.re, self.im + o.im)
+
+    __radd__ = __add__
+
+    def __sub__(self, other) -> 'C':
+        o = asc(other)
+        return C(self.re - o.re, self.im - o.im)
+
+    def __rsub__(self, other) -> 'C':
+        o = asc(other)
+        return C(o.re - self.re, o.im - self.im)
+
+    def __mul__(self, other) -> 'C':
+        if not _is_complex_like(other):
+            return C(self.re * other, self.im * other)
+        o = asc(other)
+        return C(self.re * o.re - self.im * o.im,
+                 self.re * o.im + self.im * o.re)
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, other) -> 'C':
+        if not _is_complex_like(other):
+            return C(self.re / other, self.im / other)
+        o = asc(other)
+        denom = o.re * o.re + o.im * o.im
+        return C((self.re * o.re + self.im * o.im) / denom,
+                 (self.im * o.re - self.re * o.im) / denom)
+
+    def __rtruediv__(self, other) -> 'C':
+        return asc(other).__truediv__(self)
+
+    def __matmul__(self, other) -> 'C':
+        return matmul(self, other)
+
+    def __rmatmul__(self, other) -> 'C':
+        return matmul(asc(other), self)
+
+
+def _is_complex_like(x) -> bool:
+    """True for C, python complex, or arrays with complex dtype.
+
+    Tracer-safe: inspects ``.dtype`` instead of calling ``np.asarray``.
+    """
+    if isinstance(x, (C, complex)):
+        return True
+    dt = getattr(x, 'dtype', None)
+    if dt is not None:
+        return jnp.issubdtype(dt, jnp.complexfloating)
+    return np.iscomplexobj(x)  # host data (lists, scalars)
+
+
+def asc(x: Any) -> C:
+    """Coerce *x* (C, numpy/jnp array real or complex, scalar) to :class:`C`."""
+    if isinstance(x, C):
+        return x
+    if isinstance(x, complex):
+        f = config.float_dtype()
+        return C(jnp.asarray(x.real, f), jnp.asarray(x.imag, f))
+    if _is_complex_like(x):
+        if not isinstance(x, jnp.ndarray):
+            x = np.asarray(x)
+        f = config.float_dtype()
+        return C(jnp.asarray(x.real, f), jnp.asarray(x.imag, f))
+    return C(jnp.asarray(x))
+
+
+def zeros(shape, dtype=None) -> C:
+    dtype = dtype or config.float_dtype()
+    return C(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def eye(n: int, dtype=None, batch_shape: Tuple[int, ...] = ()) -> C:
+    dtype = dtype or config.float_dtype()
+    e = jnp.broadcast_to(jnp.eye(n, dtype=dtype), batch_shape + (n, n))
+    return C(e, jnp.zeros_like(e))
+
+
+def cexp(x) -> C:
+    r"""Complex exponential :math:`e^{ix}` of a *real* array x.
+
+    Replaces the reference's buffer-reusing ``util.cexp``
+    (/root/reference/filter_functions/util.py:136-162); here XLA fuses
+    the cos/sin pair.
+    """
+    x = jnp.asarray(x)
+    return C(jnp.cos(x), jnp.sin(x))
+
+
+def cexpm1(x) -> C:
+    r"""Compute :math:`e^{ix} - 1 = -2\sin^2(x/2) + i\sin(x)` for real x.
+
+    The half-angle form avoids catastrophic cancellation for small |x|
+    (cf. /root/reference/filter_functions/util.py:165-182).
+    """
+    x = jnp.asarray(x)
+    s = jnp.sin(x / 2)
+    return C(-2.0 * s * s, jnp.sin(x))
+
+
+def abs2(z) -> jnp.ndarray:
+    """|z|^2 without intermediate sqrt (util.py:121-133 equivalent)."""
+    z = asc(z)
+    return z.re * z.re + z.im * z.im
+
+
+def cabs(z) -> jnp.ndarray:
+    return jnp.sqrt(abs2(z))
+
+
+def where(mask, a, b) -> C:
+    """Elementwise select between complex values."""
+    a, b = asc(a), asc(b)
+    return C(jnp.where(mask, a.re, b.re), jnp.where(mask, a.im, b.im))
+
+
+# -----------------------------------------------------------------------------
+# Pairwise contractions (Gauss 3-multiplication)
+# -----------------------------------------------------------------------------
+def _bilinear(f, a: C, b: C) -> C:
+    """Apply a real bilinear contraction *f* to complex operands via the
+    3-multiplication trick."""
+    p1 = f(a.re, b.re)
+    p2 = f(a.im, b.im)
+    p3 = f(a.re + a.im, b.re + b.im)
+    return C(p1 - p2, p3 - p1 - p2)
+
+
+def matmul(a, b) -> C:
+    a, b = asc(a), asc(b)
+    return _bilinear(jnp.matmul, a, b)
+
+
+def ceinsum2(subscripts: str, a, b) -> C:
+    """Two-operand complex einsum via three real einsums."""
+    a, b = asc(a), asc(b)
+    f = functools.partial(jnp.einsum, subscripts)
+    return _bilinear(f, a, b)
+
+
+def ceinsum1(subscripts: str, a) -> C:
+    """Single-operand einsum (pure reshuffle/trace), applied per part."""
+    a = asc(a)
+    return C(jnp.einsum(subscripts, a.re), jnp.einsum(subscripts, a.im))
+
+
+@functools.lru_cache(maxsize=None)
+def _einsum_plan(subscripts: str, shapes: Tuple[Tuple[int, ...], ...]):
+    """Host-side contraction-path planning, cached on (subscripts, shapes)."""
+    dummies = [np.broadcast_to(np.empty((), np.float32), s) for s in shapes]
+    _, info = oe.contract_path(subscripts, *dummies, optimize='optimal'
+                               if len(shapes) <= 5 else 'auto')
+    return info.contraction_list
+
+
+def ceinsum(subscripts: str, *operands) -> C:
+    """Multi-operand complex einsum.
+
+    The contraction path is planned once per (subscripts, shapes) with
+    opt_einsum on the host; execution is a chain of pairwise complex
+    contractions (3 real einsums each).  Real operands are contracted
+    against both parts directly (2 real einsums).
+    """
+    ops = [o if isinstance(o, C) else (asc(o) if np.iscomplexobj(o) else
+                                       jnp.asarray(o)) for o in operands]
+    shapes = tuple(tuple(o.shape) for o in ops)
+    plan = _einsum_plan(subscripts, shapes)
+
+    work: list = list(ops)
+    for inds, _, sub, _, _ in plan:
+        # opt_einsum stores inds descending and builds each pairwise
+        # einsum_str for the operands popped in exactly that order.
+        args = [work.pop(i) for i in inds]
+        if len(args) == 1:
+            a = args[0]
+            res = ceinsum1(sub, a) if isinstance(a, C) else jnp.einsum(sub, a)
+        else:
+            a, b = args
+            a_c, b_c = isinstance(a, C), isinstance(b, C)
+            if a_c and b_c:
+                res = ceinsum2(sub, a, b)
+            elif a_c:
+                res = C(jnp.einsum(sub, a.re, b), jnp.einsum(sub, a.im, b))
+            elif b_c:
+                res = C(jnp.einsum(sub, a, b.re), jnp.einsum(sub, a, b.im))
+            else:
+                res = jnp.einsum(sub, a, b)
+        work.append(res)
+
+    out = work[0]
+    return out
+
+
+# -----------------------------------------------------------------------------
+# Linear algebra
+# -----------------------------------------------------------------------------
+def solve(a: C, b: C) -> C:
+    """Solve ``a @ x = b`` for complex operands via the real block
+    embedding ``[[A, -B], [B, A]] [x; y] = [c; d]``.
+
+    Shapes: a ``(..., n, n)``, b ``(..., n, m)``.
+    """
+    a, b = asc(a), asc(b)
+    n = a.shape[-1]
+    top = jnp.concatenate([a.re, -a.im], axis=-1)
+    bot = jnp.concatenate([a.im, a.re], axis=-1)
+    block = jnp.concatenate([top, bot], axis=-2)
+    rhs = jnp.concatenate([b.re, b.im], axis=-2)
+    sol = jnp.linalg.solve(block, rhs)
+    return C(sol[..., :n, :], sol[..., n:, :])
+
+
+def matrix_power(a: C, p: int) -> C:
+    """``a`` raised to the integer power *p* by binary exponentiation."""
+    n = a.shape[-1]
+    result = eye(n, dtype=a.dtype,
+                 batch_shape=a.shape[:-2])
+    base = a
+    k = int(p)
+    while k > 0:
+        if k & 1:
+            result = matmul(result, base)
+        k >>= 1
+        if k:
+            base = matmul(base, base)
+    return result
+
+
+def geometric_series(t: C, repeats: int) -> C:
+    r"""Matrix geometric series :math:`S = \sum_{g=0}^{G-1} T^g` by binary
+    doubling: ``S_{2k} = S_k + T^k S_k``, ``T^{2k} = T^k T^k``.
+
+    Unlike the reference's LSE-solve with per-frequency invertibility
+    checks and explicit-sum fallback
+    (/root/reference/filter_functions/numeric.py:934-954), this is
+    branch-free (no cond/det check), unconditionally stable, and costs
+    only ``2 log2(G)`` batched matmuls -- a better fit for XLA.
+    """
+    n = t.shape[-1]
+    s = eye(n, dtype=t.dtype, batch_shape=t.shape[:-2])  # S_1 = I
+    tk = t
+    k = int(repeats)
+    # Invariant: result accumulates sum over processed bits.
+    result = zeros(s.shape, dtype=t.dtype)
+    power = eye(n, dtype=t.dtype, batch_shape=t.shape[:-2])  # T^(processed)
+    while k > 0:
+        if k & 1:
+            # result += power @ s ; power *= tk
+            result = result + matmul(power, s)
+            power = matmul(power, tk)
+        k >>= 1
+        if k:
+            s = s + matmul(tk, s)
+            tk = matmul(tk, tk)
+    return result
+
+
+# -----------------------------------------------------------------------------
+# Hermitian eigendecomposition
+# -----------------------------------------------------------------------------
+def _eigh_embedded(re: jnp.ndarray, im: jnp.ndarray):
+    r"""Complex Hermitian eigh via the real symmetric embedding.
+
+    For H = A + iB (A symmetric, B antisymmetric) the real 2d x 2d
+    matrix M = [[A, -B], [B, A]] is symmetric, commutes with the complex
+    structure J = [[0, -I], [I, 0]], and every real eigenvector
+    w = [x; y] maps to a complex eigenvector v = x + iy of H with the
+    same eigenvalue (each eigenvalue of H appears twice in M).
+
+    From the 2d real eigenvectors we extract d complex orthonormal ones
+    by rank-revealing *pivoted* Gram-Schmidt: the candidate frame
+    {x_j + i y_j} has Gram matrix (I + iK) with K = W^T J W antisymmetric
+    orthogonal, so the total residual energy after s selections is
+    exactly 2(d - s) -- the pivot always has residual norm^2 >=
+    2(d-s)/(2d-s) > 0, which makes the extraction robust under
+    arbitrary eigenvalue degeneracy (e.g. H = 0 free-evolution
+    segments).  Any orthonormal basis of a degenerate subspace is a
+    valid eigenbasis, so downstream quantities are unaffected by the
+    choice.
+
+    This exists because the TPU backend supports real float64 but no
+    complex128 at all (and no host callbacks under jit).
+    """
+    d = re.shape[-1]
+    big = jnp.concatenate([
+        jnp.concatenate([re, -im], axis=-1),
+        jnp.concatenate([im, re], axis=-1),
+    ], axis=-2)
+    w2, vecs = jnp.linalg.eigh(big)                     # ascending, (..,2d,2d)
+    cand_x = vecs[..., :d, :]                           # (.., d, 2d)
+    cand_y = vecs[..., d:, :]
+
+    def extract(w2, cx, cy):
+        # cx, cy: (d, 2d) candidates as columns; returns (d,), (d, d), (d, d)
+        two_d = 2 * d
+
+        def body(carry, s):
+            sel_x, sel_y, used, vals = carry
+            # residuals: cand - V (V^H cand), complex in split form
+            # V^H cand: (d_sel, 2d)
+            pr = (jnp.einsum('is,ij->sj', sel_x, cx)
+                  + jnp.einsum('is,ij->sj', sel_y, cy))
+            pi = (jnp.einsum('is,ij->sj', sel_x, cy)
+                  - jnp.einsum('is,ij->sj', sel_y, cx))
+            rx = cx - (jnp.einsum('is,sj->ij', sel_x, pr)
+                       - jnp.einsum('is,sj->ij', sel_y, pi))
+            ry = cy - (jnp.einsum('is,sj->ij', sel_y, pr)
+                       + jnp.einsum('is,sj->ij', sel_x, pi))
+            norm2 = jnp.sum(rx * rx + ry * ry, axis=0)
+            norm2 = jnp.where(used, -1.0, norm2)
+            j = jnp.argmax(norm2)
+            scale = 1.0 / jnp.sqrt(jnp.maximum(norm2[j], 1e-300))
+            sel_x = sel_x.at[:, s].set(rx[:, j] * scale)
+            sel_y = sel_y.at[:, s].set(ry[:, j] * scale)
+            used = used.at[j].set(True)
+            vals = vals.at[s].set(w2[j])
+            return (sel_x, sel_y, used, vals), None
+
+        init = (jnp.zeros((d, d), re.dtype), jnp.zeros((d, d), re.dtype),
+                jnp.zeros(two_d, bool), jnp.zeros(d, re.dtype))
+        (sel_x, sel_y, _, vals), _ = lax.scan(body, init, jnp.arange(d))
+        order = jnp.argsort(vals)
+        return vals[order], sel_x[:, order], sel_y[:, order]
+
+    batch_shape = re.shape[:-2]
+    if batch_shape:
+        flat = (int(np.prod(batch_shape)), d, 2 * d)
+        w2f = w2.reshape(flat[0], 2 * d)
+        cxf = cand_x.reshape(flat)
+        cyf = cand_y.reshape(flat)
+        vals, vx, vy = jax.vmap(extract)(w2f, cxf, cyf)
+        return (vals.reshape(*batch_shape, d),
+                vx.reshape(*batch_shape, d, d),
+                vy.reshape(*batch_shape, d, d))
+    return extract(w2, cand_x, cand_y)
+
+
+@jax.custom_jvp
+def _eigh_impl(re: jnp.ndarray, im: jnp.ndarray):
+    if config.supports_native_complex():
+        h = lax.complex(re, im)
+        w, v = jnp.linalg.eigh(h)
+        return w, v.real, v.imag
+    # TPU path: real-embedding eigh (no complex128, no host callbacks).
+    return _eigh_embedded(re, im)
+
+
+@_eigh_impl.defjvp
+def _eigh_jvp(primals, tangents):
+    """First-order perturbation theory for eigh.
+
+    dw = diag(V^H dH V);  dV = V (F o (V^H dH V)),
+    F_ij = 1/(w_j - w_i) off-diagonal, 0 on the diagonal (safe-masked
+    for degenerate pairs).
+    """
+    re, im = primals
+    dre, dim = tangents
+    w, vre, vim = _eigh_impl(re, im)
+    v = C(vre, vim)
+    dh = C(dre, dim)
+    m = matmul(matmul(v.H, dh), v)            # V^H dH V
+    dw = m.diagonal().re
+    dws = w[..., None, :] - w[..., :, None]   # w_j - w_i
+    safe = jnp.abs(dws) > 1e-12 * (1 + jnp.abs(w[..., None, :]))
+    f = jnp.where(safe, 1.0 / jnp.where(safe, dws, 1.0), 0.0)
+    dv = matmul(v, C(f * m.re, f * m.im))
+    return (w, vre, vim), (dw, dv.re, dv.im)
+
+
+def eigh(h: C):
+    """Eigendecomposition of a batched Hermitian :class:`C` matrix.
+
+    Returns ``(eigvals, eigvecs)`` with eigvals a real ascending array of
+    shape ``(..., d)`` and eigvecs a :class:`C` of shape ``(..., d, d)``.
+    """
+    h = asc(h)
+    w, vre, vim = _eigh_impl(h.re, h.im)
+    return w, C(vre, vim)
+
+
+def expm_real(a: jnp.ndarray) -> jnp.ndarray:
+    """Matrix exponential of a real matrix (used for the error transfer
+    matrix, cf. /root/reference/filter_functions/numeric.py:2051)."""
+    return jax.scipy.linalg.expm(a)

@@ -1,0 +1,801 @@
+"""Pulse composition: concatenation in time, periodic repetition, and
+extension to larger registers (TPU-native rebuild of the sequencing
+half of /root/reference/filter_functions/pulse_sequence.py:1340-2613).
+
+The identifier/hash bookkeeping is pure host-side string/index logic
+(it decides *which* cached device arrays are reused); the array math
+(phase cumprods, Liouville products, atomic control-matrix sums,
+closed-form periodic series) runs on device through the kernels in
+:mod:`.numeric`.
+"""
+from __future__ import annotations
+
+import bisect
+import copy as _copy
+from itertools import accumulate
+from typing import Any, Dict, Iterable, List, Mapping, Optional, Sequence, \
+    Tuple, Union
+from warnings import warn
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import numeric, util
+from .basis import (Basis, equivalent_pauli_basis_elements,
+                    remap_pauli_basis_elements)
+from .cplx import C, asc, matrix_power
+from .pulse_sequence import PulseSequence, _parse_hamiltonian
+from .superoperator import liouville_representation
+from .types import Coefficients, Hamiltonian, PulseMapping
+
+__all__ = ['concatenate', 'concatenate_periodic', 'extend', 'remap',
+           'concatenate_without_filter_function']
+
+
+# -----------------------------------------------------------------------------
+# Hamiltonian union (host-side metadata algebra)
+# -----------------------------------------------------------------------------
+def _concatenate_hamiltonian(opers, identifiers, coeffs, kind: str):
+    """Union the operators of several pulses by array-hash, resolve
+    identifier clashes, and lay coefficients into the concatenated
+    segment grid (pulse_sequence.py:1340-1483).
+
+    Same oper + different identifiers -> error; same identifier +
+    different opers -> suffix ``_p`` with the pulse position; missing
+    noise sensitivities are inferred when constant, else an error.
+    """
+    n_dt_per_pulse = [c.shape[1] for c in coeffs]
+    seg_bounds = [0] + list(accumulate(n_dt_per_pulse))
+    n_ops_per_pulse = [len(op) for op in opers]
+    pulse_bounds = list(accumulate(n_ops_per_pulse))
+
+    all_opers = np.concatenate(opers, axis=0)
+    all_identifiers = np.concatenate(identifiers)
+    oper_hashes = util.hash_array_along_axis(all_opers, axis=0)
+    uniq_hashes, first_idx, inverse = np.unique(
+        oper_hashes, return_index=True, return_inverse=True)
+    uniq_hashes = uniq_hashes.tolist()
+    uniq_identifiers = all_identifiers[first_idx].tolist()
+
+    # hash tables in both directions to detect clashes
+    oper_to_ids: Dict[int, set] = {}
+    id_to_opers: Dict[str, set] = {}
+    for h, ident in zip(oper_hashes, all_identifiers):
+        oper_to_ids.setdefault(h, set()).add(ident)
+        id_to_opers.setdefault(ident, set()).add(h)
+
+    if any(len(ids) > 1 for ids in oper_to_ids.values()):
+        raise ValueError(f'Trying to concatenate pulses with equal {kind} '
+                         'operators but different identifiers. Please '
+                         f'choose unique {kind} identifiers!')
+
+    mapping = {p: {ident: ident for ident in identifiers[p]}
+               for p in range(len(opers))}
+    for ident, hashes in id_to_opers.items():
+        if len(hashes) > 1:
+            # identifier used for different operators: disambiguate by
+            # pulse position suffix
+            for h in hashes:
+                flat_pos = oper_hashes.index(h)
+                pulse_pos = bisect.bisect(pulse_bounds, flat_pos)
+                uniq_pos = uniq_hashes.index(h)
+                new_ident = f'{uniq_identifiers[uniq_pos]}_{pulse_pos}'
+                uniq_identifiers[uniq_pos] = new_ident
+                mapping[pulse_pos][ident] = new_ident
+
+    sort_idx = np.argsort(uniq_identifiers)
+    concat_opers = all_opers[first_idx[sort_idx]]
+    concat_identifiers = np.array([uniq_identifiers[i] for i in sort_idx])
+
+    n_dt_total = seg_bounds[-1]
+    concat_coeffs = np.full((len(uniq_identifiers), n_dt_total), np.nan)
+    flat_coeffs = [c for pulse_coeffs in coeffs for c in pulse_coeffs]
+    for u in range(len(uniq_identifiers)):
+        for flat_pos in (inverse == u).nonzero()[0]:
+            p = bisect.bisect(pulse_bounds, flat_pos)
+            concat_coeffs[u, seg_bounds[p]:seg_bounds[p + 1]] = \
+                flat_coeffs[flat_pos]
+
+    if kind == 'noise':
+        nan_mask = np.isnan(concat_coeffs)
+        for row in nan_mask.any(axis=1).nonzero()[0]:
+            known = concat_coeffs[row][~nan_mask[row]]
+            if (known == known[0]).all():
+                concat_coeffs[row, nan_mask[row]] = known[0]
+            else:
+                raise ValueError(
+                    'Not all pulses have the same noise operators and '
+                    'non-trivial noise sensitivities so I cannot infer '
+                    'them.')
+    else:
+        concat_coeffs[np.isnan(concat_coeffs)] = 0
+
+    return concat_opers, concat_identifiers, concat_coeffs[sort_idx], mapping
+
+
+def concatenate_without_filter_function(
+        pulses: Iterable[PulseSequence],
+        return_identifier_mappings: bool = False):
+    """Concatenate pulses, merging Hamiltonians but skipping all filter-
+    function work (pulse_sequence.py:1599-1665)."""
+    try:
+        pulses = tuple(pulses)
+    except TypeError:
+        raise TypeError(f'Expected pulses to be iterable, not '
+                        f'{type(pulses)}')
+    if not all(isinstance(p, PulseSequence) for p in pulses):
+        raise TypeError('Can only concatenate PulseSequences!')
+    if len({p.d for p in pulses}) != 1:
+        raise ValueError('Trying to concatenate PulseSequence instances '
+                         'with different dimension!')
+    if not util.all_array_equal((p.basis.np for p in pulses)):
+        raise ValueError('Trying to concatenate PulseSequence instances '
+                         'with different bases!')
+
+    control = _concatenate_hamiltonian(
+        [p.c_opers for p in pulses], [p.c_oper_identifiers for p in pulses],
+        [p.c_coeffs for p in pulses], kind='control')
+    noise = _concatenate_hamiltonian(
+        [p.n_opers for p in pulses], [p.n_oper_identifiers for p in pulses],
+        [p.n_coeffs for p in pulses], kind='noise')
+    dt = np.concatenate([p.dt for p in pulses])
+
+    newpulse = PulseSequence.from_arrays(*control[:3], *noise[:3], dt,
+                                         pulses[0].basis)
+    newpulse.tau = sum(p.tau for p in pulses)
+    if return_identifier_mappings:
+        return newpulse, control[3], noise[3]
+    return newpulse
+
+
+# -----------------------------------------------------------------------------
+# Full concatenation with filter-function reuse
+# -----------------------------------------------------------------------------
+@util.parse_optional_parameters(which=('fidelity', 'generalized'))
+def concatenate(pulses: Iterable[PulseSequence],
+                calc_pulse_correlation_FF: bool = False,
+                calc_filter_function: Optional[bool] = None,
+                calc_second_order_FF: Optional[bool] = None,
+                which: str = 'fidelity',
+                omega: Optional[Coefficients] = None,
+                show_progressbar: bool = False) -> PulseSequence:
+    r"""Concatenate pulses left-to-right (B o A for (A, B)), reusing
+    cached atomic control matrices where possible -- the headline
+    algorithmic feature of the reference (pulse_sequence.py:1668-1887).
+    """
+    pulses = tuple(pulses)
+    if len(pulses) == 1:
+        return _copy.copy(pulses[0])
+
+    newpulse, _, n_oper_mapping = concatenate_without_filter_function(
+        pulses, return_identifier_mappings=True)
+
+    if all(p.is_cached('total_propagator') for p in pulses):
+        newpulse.total_propagator = util.mdot(
+            _stack_c([p.total_propagator for p in pulses][::-1]))
+
+    if calc_pulse_correlation_FF or calc_second_order_FF is True:
+        calc_filter_function = True
+    if calc_filter_function is False:
+        return newpulse
+
+    # which noise opers are present in which pulse (post-remapping)
+    pulse_identifiers = [sorted(mapping.values())
+                         for _, mapping in sorted(n_oper_mapping.items())]
+    unique_identifiers = sorted({i for ids in pulse_identifiers
+                                 for i in ids})
+    n_opers_present = np.array(
+        [[ident in ids for ident in unique_identifiers]
+         for ids in pulse_identifiers])
+
+    if calc_second_order_FF and not n_opers_present.all():
+        warn('Second order FF requested but not all pulses have the same '
+             'n_opers. Not implemented.', UserWarning)
+        calc_second_order_FF = False
+
+    equal_n_opers = (n_opers_present.sum(axis=0) > 1).any()
+    if omega is None:
+        cached_ctrl_mat = [p.is_cached('control_matrix') for p in pulses]
+        if any(cached_ctrl_mat):
+            equal_omega = util.all_array_equal(
+                (p.omega for p, c in zip(pulses, cached_ctrl_mat) if c))
+        else:
+            cached_omega = [p.is_cached('omega') for p in pulses]
+            equal_omega = util.all_array_equal(
+                (p.omega for p, c in zip(pulses, cached_omega) if c))
+        if not equal_omega:
+            if calc_filter_function:
+                raise ValueError('Calculation of filter function forced '
+                                 'but not all pulses have the same '
+                                 'frequencies cached and none were '
+                                 'supplied!')
+            if calc_pulse_correlation_FF:
+                raise ValueError('Cannot compute the pulse correlation '
+                                 'filter functions; do not have the '
+                                 'frequencies at which to evaluate.')
+            return newpulse
+        if calc_filter_function is None and (
+                not equal_n_opers or not any(cached_ctrl_mat)):
+            return newpulse
+        if any(cached_ctrl_mat):
+            ind = int(np.nonzero(cached_ctrl_mat)[0][0])
+        else:
+            ind = int(np.nonzero(cached_omega)[0][0])
+        omega = pulses[ind].omega
+
+    if not equal_n_opers:
+        # No cache reuse possible: compute afresh on the merged pulse.
+        newpulse.cache_filter_function(omega, which=which)
+        return newpulse
+
+    # cumulative phase factors e^{i w t_{g-1}} of pulse boundaries
+    phase_list = [p.get_total_phases(omega) for p in pulses[:-1]]
+    phases = _cumprod_c(phase_list)                     # (G-1, n_omega) C
+
+    # Liouville transfer matrices of the cumulative boundary propagators
+    props_liouville = [p.total_propagator_liouville for p in pulses[:-1]]
+    if any(isinstance(pl, C) for pl in props_liouville):
+        propagators_liouville = util.adot(_stack_c(props_liouville))
+    else:
+        propagators_liouville = util.adot(
+            jnp.stack([jnp.asarray(pl) for pl in props_liouville]))
+
+    # atomic control matrices, sorted into the new noise-operator order
+    n_nops_new = len(newpulse.n_opers)
+    n_w = len(np.asarray(omega))
+    n_basis = len(newpulse.basis)
+    seg_bounds = [0] + list(accumulate(len(p.dt) for p in pulses))
+    atomic_re = np.zeros((len(pulses), n_nops_new, n_basis, n_w))
+    atomic_im = np.zeros_like(atomic_re)
+    for i, (pulse, present) in enumerate(zip(pulses, n_opers_present)):
+        ctrl = pulse.get_control_matrix(omega, show_progressbar)
+        atomic_re[i, present] = np.asarray(ctrl.re)
+        atomic_im[i, present] = np.asarray(ctrl.im)
+        if not present.all():
+            missing = ~present
+            extra = numeric.calculate_control_matrix_from_scratch(
+                pulse.eigvals, pulse.eigvecs, pulse.propagators,
+                jnp.asarray(omega), pulse.basis,
+                asc(newpulse.n_opers[missing]),
+                newpulse.n_coeffs[missing,
+                                  seg_bounds[i]:seg_bounds[i + 1]],
+                pulse.dt, t=jnp.asarray(pulse.t),
+                show_progressbar=show_progressbar)
+            atomic_re[i, missing] = np.asarray(extra.re)
+            atomic_im[i, missing] = np.asarray(extra.im)
+    control_matrix_atomic = C(jnp.asarray(atomic_re), jnp.asarray(atomic_im))
+
+    if not newpulse.is_cached('total_propagator'):
+        newpulse.total_propagator = util.mdot(
+            _stack_c([p.total_propagator for p in pulses][::-1]))
+    newpulse.cache_total_phases(omega)
+    newpulse.total_propagator_liouville = liouville_representation(
+        newpulse.total_propagator, newpulse.basis)
+
+    # 'correlations' keeps the per-pulse summands, needed both for the
+    # pulse-correlation FF and the second-order concatenation rule.
+    keep_steps = calc_pulse_correlation_FF or calc_second_order_FF
+    control_matrix = numeric.calculate_control_matrix_from_atomic(
+        phases, control_matrix_atomic, propagators_liouville,
+        show_progressbar,
+        which='correlations' if keep_steps else 'total')
+
+    if calc_second_order_FF:
+        ctrl_step = control_matrix
+        ctrl_cumulative = ctrl_step.cumsum(axis=0)
+        if not calc_pulse_correlation_FF:
+            control_matrix = ctrl_cumulative[-1]
+        ff2 = numeric.calculate_second_order_filter_function_from_atomic(
+            basis=newpulse.basis,
+            filter_function_atomic=pulses[0].get_filter_function(
+                omega, order=2),
+            control_matrix_atomic=control_matrix_atomic,
+            control_matrix_atomic_step=ctrl_step,
+            control_matrix_atomic_cumulative=ctrl_cumulative,
+            propagators=util.adot(
+                _stack_c([p.total_propagator for p in pulses[:-1]])),
+            propagators_liouville=propagators_liouville,
+            intermediates=[p.intermediates for p in pulses])
+        newpulse.cache_filter_function(omega, filter_function=ff2, order=2)
+
+    newpulse.cache_filter_function(omega, control_matrix, which=which)
+    return newpulse
+
+
+def _stack_c(items: Sequence) -> C:
+    """Stack a list of C (or array) matrices along a new leading axis."""
+    items = [asc(i) for i in items]
+    return C(jnp.stack([i.re for i in items]),
+             jnp.stack([i.im for i in items]))
+
+
+def _cumprod_c(items: Sequence[C]) -> C:
+    """Elementwise cumulative product of a short list of C arrays."""
+    out = [asc(items[0])]
+    for item in items[1:]:
+        out.append(out[-1] * asc(item))
+    return _stack_c(out)
+
+
+def concatenate_periodic(pulse: PulseSequence, repeats: int,
+                         check_invertible: bool = True) -> PulseSequence:
+    r"""Repeat *pulse* `repeats` times with the closed-form geometric
+    series for the control matrix (pulse_sequence.py:1890-1977).
+
+    The series is evaluated by branch-free binary doubling (see
+    :func:`~.cplx.geometric_series`); *check_invertible* is accepted
+    for API compatibility and ignored.
+    """
+    if not isinstance(pulse, PulseSequence):
+        raise TypeError('Can only concatenate PulseSequences!')
+
+    newpulse = PulseSequence.from_arrays(
+        c_opers=pulse.c_opers,
+        c_oper_identifiers=pulse.c_oper_identifiers,
+        c_coeffs=np.tile(pulse.c_coeffs, (1, repeats)),
+        n_opers=pulse.n_opers,
+        n_oper_identifiers=pulse.n_oper_identifiers,
+        n_coeffs=np.tile(pulse.n_coeffs, (1, repeats)),
+        dt=np.tile(pulse.dt, repeats),
+        basis=pulse.basis,
+    )
+    newpulse.tau = repeats * pulse.tau
+    if not pulse.is_cached('control_matrix'):
+        return newpulse
+
+    phases_at = pulse.get_total_phases(pulse.omega)
+    ctrl_at = pulse.get_control_matrix(pulse.omega)
+    liouville_at = pulse.total_propagator_liouville
+
+    newpulse.total_propagator = matrix_power(
+        asc(pulse.total_propagator), repeats)
+    newpulse.cache_total_phases(pulse.omega)
+    ctrl_tot = numeric.calculate_control_matrix_periodic(
+        phases_at, ctrl_at, asc(liouville_at), repeats)
+    newpulse.cache_filter_function(pulse.omega, ctrl_tot)
+    return newpulse
+
+
+# -----------------------------------------------------------------------------
+# remap / extend
+# -----------------------------------------------------------------------------
+def _map_identifiers(identifiers, mapping):
+    """Remap identifiers; returns (remapped, sort_idx)
+    (pulse_sequence.py:1533-1561)."""
+    if mapping is None:
+        return np.asarray(identifiers), np.arange(len(identifiers))
+    remapped = np.array([mapping[i] for i in identifiers])
+    return remapped, np.argsort(remapped)
+
+
+def _default_extend_mapping(identifiers, mapping, qubits):
+    """Default identifier mapping appends the target qubit indices
+    (pulse_sequence.py:1564-1596)."""
+    if mapping is not None:
+        return identifiers, mapping
+    try:
+        suffix = ('{}' * len(qubits)).format(*qubits)
+    except TypeError:
+        suffix = f'{qubits}'
+    return identifiers, {q: f'{q}_{suffix}' for q in identifiers}
+
+
+def remap(pulse: PulseSequence, order: Sequence[int], d_per_qubit: int = 2,
+          oper_identifier_mapping: Optional[Mapping[str, str]] = None
+          ) -> PulseSequence:
+    """Permute the qubit order of a pulse's tensor-product operators,
+    retaining caches (pulse_sequence.py:1980-2114).  Pauli-basis control
+    matrices are permuted via index arithmetic."""
+    n_qubits = int(round(np.log(pulse.d) / np.log(d_per_qubit)))
+    dims = [[d_per_qubit] * n_qubits] * 2
+
+    c_opers = util.tensor_transpose(pulse.c_opers, order, dims)
+    n_opers = util.tensor_transpose(pulse.n_opers, order, dims)
+    c_ids, c_sort = _map_identifiers(pulse.c_oper_identifiers,
+                                     oper_identifier_mapping)
+    n_ids, n_sort = _map_identifiers(pulse.n_oper_identifiers,
+                                     oper_identifier_mapping)
+
+    remapped = PulseSequence.from_arrays(
+        c_opers=c_opers[c_sort], n_opers=n_opers[n_sort],
+        c_oper_identifiers=c_ids[c_sort], n_oper_identifiers=n_ids[n_sort],
+        c_coeffs=pulse.c_coeffs[c_sort], n_coeffs=pulse.n_coeffs[n_sort],
+        dt=pulse.dt, basis=pulse.basis)
+    if 't' in pulse.data:
+        remapped.t = pulse.t
+    if 'tau' in pulse.data:
+        remapped.tau = pulse.tau
+
+    if pulse.is_cached('eigvals'):
+        remapped.eigvals = jnp.asarray(util.tensor_transpose(
+            np.asarray(pulse.eigvals), order, [[d_per_qubit] * n_qubits],
+            rank=1))
+    for attr in ('eigvecs', 'propagators', 'total_propagator'):
+        if pulse.is_cached(attr):
+            setattr(remapped, attr,
+                    util.tensor_transpose(getattr(pulse, attr), order, dims))
+
+    if not pulse.is_cached('omega'):
+        return remapped
+    omega = pulse.omega
+    if pulse.is_cached('total_phases'):
+        remapped.cache_total_phases(omega, pulse.get_total_phases(omega))
+    if pulse.is_cached('filter_function'):
+        ff = pulse.get_filter_function(omega)
+        perm_ff = ff._map(lambda a: a[n_sort[:, None], n_sort[None, :]])
+        remapped.cache_filter_function(omega, filter_function=perm_ff)
+
+    if pulse.is_cached('total_propagator_liouville') \
+            or pulse.is_cached('control_matrix'):
+        if pulse.basis.btype != 'Pauli':
+            warn('pulse does not have a separable basis which is needed to '
+                 'retain cached control matrices.')
+            return remapped
+        perm = remap_pauli_basis_elements(order, n_qubits)
+        inv_perm = np.argsort(perm)
+        if pulse.is_cached('total_propagator_liouville'):
+            tpl = pulse.total_propagator_liouville
+            if isinstance(tpl, C):
+                remapped.total_propagator_liouville = tpl._map(
+                    lambda a: a[jnp.ix_(jnp.asarray(inv_perm),
+                                        jnp.asarray(inv_perm))])
+            else:
+                remapped.total_propagator_liouville = jnp.asarray(
+                    tpl)[jnp.ix_(jnp.asarray(inv_perm),
+                                 jnp.asarray(inv_perm))]
+        if pulse.is_cached('control_matrix'):
+            ctrl = pulse.get_control_matrix(omega)
+            inv_sort = np.argsort(n_sort)
+            # new[inv_sort[a], perm[k]] = old[a, k]
+            # <=> new[a, k] = old[n_sort[a], inv_perm[k]]
+            remapped_ctrl = ctrl._map(
+                lambda a: a[jnp.asarray(n_sort)][:, jnp.asarray(inv_perm)])
+            remapped.cache_control_matrix(omega, remapped_ctrl)
+    return remapped
+
+
+def _tensor_chain_merge(old_attrs, new_attrs, d_per_qubit, registers,
+                        qubits):
+    """Merge each new attribute into the growing tensor chain at the
+    register positions *qubits* (pulse_sequence.py:1486-1508)."""
+    if registers is None:
+        return new_attrs, list(qubits)
+    pos = [bisect.bisect(registers, q) for q in qubits]
+    merged = [util.tensor_merge(old, new, pos=pos,
+                                arr_dims=[[d_per_qubit] * len(registers)] * 2,
+                                ins_dims=[[d_per_qubit] * len(pos)] * 2)
+              for old, new in zip(old_attrs, new_attrs)]
+    for q in qubits:
+        bisect.insort(registers, q)
+    return merged, registers
+
+
+def _tensor_chain_insert(old_attrs, new_attrs, d_per_qubit, registers,
+                         qubit):
+    """Insert each new attribute into the chain at a single qubit
+    position (pulse_sequence.py:1511-1530)."""
+    if registers is None:
+        return new_attrs, [qubit]
+    pos = bisect.bisect(registers, qubit)
+    inserted = [util.tensor_insert(
+        old, new, pos=pos, arr_dims=[[d_per_qubit] * len(registers)] * 2)
+        for old, new in zip(old_attrs, new_attrs)]
+    bisect.insort(registers, qubit)
+    return inserted, registers
+
+
+def extend(pulse_to_qubit_mapping: PulseMapping, N: Optional[int] = None,
+           d_per_qubit: int = 2,
+           additional_noise_Hamiltonian: Optional[Hamiltonian] = None,
+           cache_diagonalization: Optional[bool] = None,
+           cache_filter_function: Optional[bool] = None,
+           omega: Optional[Coefficients] = None,
+           show_progressbar: bool = False) -> PulseSequence:
+    r"""Map pulses onto (subsets of) a larger qubit register, scaling up
+    cached attributes (pulse_sequence.py:2117-2613).
+
+    Cached control matrices / filter functions can only be extended for
+    separable (Pauli) bases; they are scaled by sqrt(s)/s with
+    s = d_per_qubit**(N - n) and scattered into the equivalent basis
+    element indices.
+    """
+    # ---- parse mapping ----
+    single_pulses, single_idx, single_maps = [], [], []
+    multi_pulses, multi_idx, multi_maps = [], [], []
+    active: List[int] = []
+    for entry in pulse_to_qubit_mapping:
+        pulse, qubit = entry[0], entry[1]
+        id_mapping = entry[2] if len(entry) > 2 else None
+        if util.is_sequence_like(qubit) and not isinstance(qubit, (int,
+                                                                   np.integer)):
+            qubit = tuple(int(q) for q in qubit)
+            active.extend(qubit)
+            if len(qubit) == 1:
+                single_idx.append(qubit[0])
+                single_pulses.append(pulse)
+                single_maps.append(id_mapping)
+                continue
+            sorted_qubit, order = zip(*sorted(zip(qubit, range(len(qubit)))))
+            if qubit == sorted_qubit:
+                sorted_pulse = pulse
+            else:
+                try:
+                    sorted_pulse = remap(pulse, order, d_per_qubit)
+                except ValueError as err:
+                    raise ValueError(f'Could not remap {pulse!r} mapped to '
+                                     f'qubits {qubit}. Do the dimensions '
+                                     'match?') from err
+            multi_idx.append(list(sorted_qubit))
+            multi_pulses.append(sorted_pulse)
+            multi_maps.append(id_mapping)
+        else:
+            active.append(int(qubit))
+            single_idx.append(int(qubit))
+            single_pulses.append(pulse)
+            single_maps.append(id_mapping)
+
+    if not all(p.d == d_per_qubit for p in single_pulses):
+        raise ValueError('Not all single-qubit pulses have dimension '
+                         f'd_per_qubit = {d_per_qubit}.')
+    if not all(p.d == d_per_qubit**len(q)
+               for p, q in zip(multi_pulses, multi_idx)):
+        raise ValueError('Not all multi-qubit pulses have correct '
+                         'dimension!')
+
+    pulses = multi_pulses + single_pulses
+    idx = multi_idx + single_idx
+    if not util.all_array_equal((p.dt for p in pulses)):
+        raise ValueError('All pulses should be defined on the same time '
+                         'steps')
+    active_set = set(active)
+    if len(active_set) != len(active):
+        raise ValueError('Qubit clash: multiple pulses mapped to same '
+                         'qubit!')
+    last_qubit = max(active_set)
+    if N is None:
+        N = last_qubit + 1
+    elif last_qubit + 1 > N:
+        raise ValueError('Number of qubits N smaller than highest qubit '
+                         f'index + 1 = {last_qubit + 1}')
+
+    if len(pulse_to_qubit_mapping) == 1:
+        if multi_idx and N == len(multi_idx[0]):
+            warn('Single multi-qubit pulse given and mapped to its '
+                 'original qubits. Returning the same.')
+            return multi_pulses[0]
+        if single_idx and N == 1:
+            warn('Single single-qubit pulse given and mapped to its '
+                 'original qubit. Returning the same.')
+            return single_pulses[0]
+
+    # ---- decide what to cache ----
+    if cache_filter_function is not False:
+        have_ctrl = all(p.is_cached('control_matrix') for p in pulses)
+        try:
+            equal_omega = util.all_array_equal(
+                (p.omega for p in pulses))
+        except (AttributeError, TypeError):
+            equal_omega = False
+        if cache_filter_function is None:
+            cache_filter_function = have_ctrl and equal_omega
+            if cache_filter_function:
+                omega = pulses[0].omega
+        elif omega is None:
+            if not equal_omega:
+                raise ValueError('Filter function should be cached but '
+                                 'omega was not provided and could not be '
+                                 'inferred.')
+            omega = pulses[0].omega
+
+    if cache_diagonalization is None:
+        if cache_filter_function and additional_noise_Hamiltonian is not None:
+            cache_diagonalization = True
+        else:
+            cache_diagonalization = all(
+                p.is_cached(attr) for attr in ('eigvals', 'eigvecs',
+                                               'propagators')
+                for p in pulses)
+    elif not cache_diagonalization \
+            and additional_noise_Hamiltonian is not None:
+        raise ValueError('Additional noise Hamiltonian given and '
+                         'cache_diagonalization set to False but required.')
+
+    # ---- build extended operator lists ----
+    all_qubits = set(range(N))
+    d = d_per_qubit**N
+    n_dt = len(pulses[0].dt)
+    ident = np.identity(d_per_qubit)
+
+    c_opers, c_ids, c_coeffs = [], [], []
+    n_opers, n_ids, n_coeffs = [], [], []
+    for pulse, qubits, id_map in zip(multi_pulses, multi_idx, multi_maps):
+        pos = [bisect.bisect(qubits, q)
+               for q in sorted(all_qubits.difference(qubits))]
+        c_id, _ = _map_identifiers(*_default_extend_mapping(
+            pulse.c_oper_identifiers, id_map, qubits))
+        n_id, _ = _map_identifiers(*_default_extend_mapping(
+            pulse.n_oper_identifiers, id_map, qubits))
+        c_ids.extend(c_id)
+        n_ids.extend(n_id)
+        arr_dims = [[d_per_qubit] * len(qubits)] * 2
+        c_opers.extend(util.tensor_insert(
+            pulse.c_opers, *[ident] * len(pos), pos=pos, arr_dims=arr_dims))
+        n_opers.extend(util.tensor_insert(
+            pulse.n_opers, *[ident] * len(pos), pos=pos, arr_dims=arr_dims))
+        c_coeffs.extend(pulse.c_coeffs)
+        n_coeffs.extend(pulse.n_coeffs)
+
+    for pulse, qubit, id_map in zip(single_pulses, single_idx, single_maps):
+        pre = [np.identity(d_per_qubit**qubit)] if qubit > 0 else []
+        post = [np.identity(d_per_qubit**(N - qubit - 1))] \
+            if qubit < N - 1 else []
+        c_id, _ = _map_identifiers(*_default_extend_mapping(
+            pulse.c_oper_identifiers, id_map, qubit))
+        n_id, _ = _map_identifiers(*_default_extend_mapping(
+            pulse.n_oper_identifiers, id_map, qubit))
+        c_ids.extend(c_id)
+        n_ids.extend(n_id)
+        c_opers.extend(util.tensor(*(pre + [pulse.c_opers] + post)))
+        n_opers.extend(util.tensor(*(pre + [pulse.n_opers] + post)))
+        c_coeffs.extend(pulse.c_coeffs)
+        n_coeffs.extend(pulse.n_coeffs)
+
+    n_ops_from_pulses = len(n_ids)
+    if additional_noise_Hamiltonian is not None:
+        add_opers, add_ids, add_coeffs = _parse_hamiltonian(
+            additional_noise_Hamiltonian, n_dt, 'H_n')
+        if add_opers.shape[1:] != (d, d):
+            raise ValueError('Expected additional noise operators to have '
+                             f'dimensions {(d, d)}, not '
+                             f'{add_opers.shape[1:]}.')
+        clash = set(n_ids).intersection(add_ids)
+        if clash:
+            raise ValueError('Found duplicate noise operator identifiers: '
+                             f'{clash}')
+        n_opers.extend(add_opers)
+        n_coeffs.extend(add_coeffs)
+        n_ids.extend(add_ids)
+
+    btypes = {p.basis.btype for p in pulses}
+    if len(btypes) != 1:
+        warn('Not all pulses had the same basis type. Cannot retain cached '
+             'control matrices.')
+        new_basis = Basis.ggm(d)
+    elif btypes == {'GGM'}:
+        warn('Original pulses had GGM basis which is not separable into a '
+             'tensor product. Cannot retain cached control matrices.')
+        new_basis = Basis.ggm(d)
+    elif btypes == {'Pauli'}:
+        new_basis = Basis.pauli(N)
+    else:
+        warn('Original pulses had custom basis which I cannot extend.')
+        new_basis = Basis.ggm(d)
+
+    c_sort = np.argsort(c_ids)
+    n_sort = np.argsort(n_ids)
+    newpulse = PulseSequence.from_arrays(
+        c_opers=np.asarray(c_opers)[c_sort],
+        n_opers=np.asarray(n_opers)[n_sort],
+        c_oper_identifiers=np.asarray(c_ids)[c_sort],
+        n_oper_identifiers=np.asarray(n_ids)[n_sort],
+        c_coeffs=np.asarray(c_coeffs)[c_sort],
+        n_coeffs=np.asarray(n_coeffs)[n_sort],
+        dt=pulses[0].dt, basis=new_basis)
+    if 't' in pulses[0].data:
+        newpulse.t = pulses[0].t
+    if 'tau' in pulses[0].data:
+        newpulse.tau = pulses[0].tau
+
+    if newpulse.basis.btype != 'Pauli':
+        if cache_diagonalization:
+            newpulse.diagonalize()
+        if cache_filter_function:
+            newpulse.cache_filter_function(omega)
+        return newpulse
+
+    # ---- extend diagonalization by tensoring cached attributes ----
+    if cache_diagonalization:
+        eigvals = np.zeros((n_dt, d))
+        attrs = [None, None]            # eigvecs, propagators
+        registers = None
+        for pulse, qubits in zip(multi_pulses, multi_idx):
+            hd_pos = [bisect.bisect(qubits, q)
+                      for q in sorted(all_qubits.difference(qubits))]
+            eigvals = eigvals + util.tensor_insert(
+                np.asarray(pulse.eigvals),
+                *np.ones((len(hd_pos), d_per_qubit)), pos=hd_pos, rank=1,
+                arr_dims=[[d_per_qubit] * len(qubits)])
+            attrs, registers = _tensor_chain_merge(
+                attrs, [pulse.eigvecs, pulse.propagators], d_per_qubit,
+                registers, qubits)
+        for pulse, qubit in zip(single_pulses, single_idx):
+            pre = [np.ones(d_per_qubit**qubit)] if qubit > 0 else []
+            post = [np.ones(d_per_qubit**(N - qubit - 1))] \
+                if qubit < N - 1 else []
+            eigvals = eigvals + util.tensor(
+                *(pre + [np.asarray(pulse.eigvals)] + post), rank=1)
+            attrs, registers = _tensor_chain_insert(
+                attrs, [pulse.eigvecs, pulse.propagators], d_per_qubit,
+                registers, qubit)
+        id_idx = sorted(all_qubits.difference(active_set))
+        if id_idx:
+            filler = asc(np.eye(d_per_qubit**len(id_idx)))
+            attrs, registers = _tensor_chain_merge(
+                attrs, [filler, filler], d_per_qubit, registers, id_idx)
+        newpulse.eigvals = jnp.asarray(eigvals)
+        newpulse.eigvecs = attrs[0]
+        newpulse.propagators = attrs[1]
+        newpulse.total_propagator = attrs[1][-1]
+    elif all(p.is_cached('total_propagator') for p in pulses):
+        attrs = [None]
+        registers = None
+        for pulse, qubits in zip(multi_pulses, multi_idx):
+            attrs, registers = _tensor_chain_merge(
+                attrs, [pulse.total_propagator], d_per_qubit, registers,
+                qubits)
+        for pulse, qubit in zip(single_pulses, single_idx):
+            attrs, registers = _tensor_chain_insert(
+                attrs, [pulse.total_propagator], d_per_qubit, registers,
+                qubit)
+        id_idx = sorted(all_qubits.difference(active_set))
+        if id_idx:
+            filler = asc(np.eye(d_per_qubit**len(id_idx)))
+            attrs, registers = _tensor_chain_merge(
+                attrs, [filler], d_per_qubit, registers, id_idx)
+        newpulse.total_propagator = attrs[0]
+
+    # ---- extend cached control matrices / filter functions ----
+    if cache_filter_function:
+        newpulse.omega = omega
+        n_nops_new = len(newpulse.n_opers)
+        n_w = len(np.asarray(omega))
+        ctrl_re = np.zeros((n_nops_new, d * d, n_w))
+        ctrl_im = np.zeros_like(ctrl_re)
+        ff_re = np.zeros((n_nops_new, n_nops_new, n_w))
+        ff_im = np.zeros_like(ff_re)
+        counter = 0
+        for ind, pulse in zip(idx, pulses):
+            n_nops = len(pulse.n_opers)
+            ind_list = [ind] if isinstance(ind, (int, np.integer)) else ind
+            basis_idx = equivalent_pauli_basis_elements(ind_list, N)
+            rows = slice(counter, counter + n_nops)
+            counter += n_nops
+            scale = d_per_qubit**(N - len(ind_list))
+            ctrl = pulse.get_control_matrix(
+                omega, show_progressbar=show_progressbar)
+            ctrl_re[np.ix_(range(rows.start, rows.stop), basis_idx)] = \
+                np.asarray(ctrl.re) * np.sqrt(scale)
+            ctrl_im[np.ix_(range(rows.start, rows.stop), basis_idx)] = \
+                np.asarray(ctrl.im) * np.sqrt(scale)
+            ff = pulse.get_filter_function(
+                omega, show_progressbar=show_progressbar)
+            ff_re[rows, rows] = np.asarray(ff.re) * scale
+            ff_im[rows, rows] = np.asarray(ff.im) * scale
+
+        if additional_noise_Hamiltonian is not None:
+            newpulse_inds = util.get_indices_from_identifiers(
+                newpulse.n_oper_identifiers, list(n_ids[counter:]))
+            extra_ctrl = numeric.calculate_control_matrix_from_scratch(
+                newpulse.eigvals, newpulse.eigvecs, newpulse.propagators,
+                jnp.asarray(omega), newpulse.basis,
+                asc(newpulse.n_opers[newpulse_inds]),
+                newpulse.n_coeffs[newpulse_inds], newpulse.dt,
+                t=jnp.asarray(newpulse.t),
+                show_progressbar=show_progressbar)
+            ctrl_re[counter:] = np.asarray(extra_ctrl.re)
+            ctrl_im[counter:] = np.asarray(extra_ctrl.im)
+            extra_ff = numeric.calculate_filter_function(extra_ctrl)
+            ff_re[counter:, counter:] = np.asarray(extra_ff.re)
+            ff_im[counter:, counter:] = np.asarray(extra_ff.im)
+
+        newpulse.cache_total_phases(omega)
+        newpulse.total_propagator_liouville = liouville_representation(
+            newpulse.total_propagator, newpulse.basis)
+        newpulse.cache_control_matrix(
+            omega, C(jnp.asarray(ctrl_re[n_sort]),
+                     jnp.asarray(ctrl_im[n_sort])))
+        newpulse.cache_filter_function(
+            omega, filter_function=C(
+                jnp.asarray(ff_re[np.ix_(n_sort, n_sort)]),
+                jnp.asarray(ff_im[np.ix_(n_sort, n_sort)])))
+    return newpulse

@@ -1,0 +1,186 @@
+"""Unit tests of the split-complex core (cplx.C and friends) against
+native numpy complex arithmetic."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from filter_functions_tpu import cplx
+from testutil import assert_allclose, rng
+
+
+def randc(*shape):
+    return rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+
+
+class TestCAlgebra:
+    def test_roundtrip(self):
+        z = randc(3, 4)
+        c = cplx.asc(z)
+        assert_allclose(c.to_numpy(), z)
+        assert c.shape == (3, 4)
+        assert_allclose(c.conj().to_numpy(), z.conj())
+        assert_allclose(c.H.to_numpy(), z.conj().T)
+
+    def test_binary_ops(self):
+        a, b = randc(4, 4), randc(4, 4)
+        ca, cb = cplx.asc(a), cplx.asc(b)
+        assert_allclose((ca + cb).to_numpy(), a + b)
+        assert_allclose((ca - cb).to_numpy(), a - b)
+        assert_allclose((ca * cb).to_numpy(), a * b)
+        assert_allclose((ca / cb).to_numpy(), a / b)
+        assert_allclose((ca @ cb).to_numpy(), a @ b, rtol=1e-13)
+        assert_allclose((2.5 * ca).to_numpy(), 2.5 * a)
+        assert_allclose((1j * ca).to_numpy(), 1j * a)
+        assert_allclose((ca + 1).to_numpy(), a + 1)
+        assert_allclose((1 - ca).to_numpy(), 1 - a)
+        assert_allclose((1 / ca).to_numpy(), 1 / a)
+
+    def test_real_array_mixing(self):
+        a = randc(3, 3)
+        r = rng.standard_normal((3, 3))
+        assert_allclose((cplx.asc(a) * r).to_numpy(), a * r)
+        assert_allclose((cplx.asc(a) @ r).to_numpy(), a @ r, rtol=1e-13)
+
+    def test_exponentials(self):
+        x = rng.standard_normal(100) * 10
+        assert_allclose(cplx.cexp(x).to_numpy(), np.exp(1j * x), atol=1e-15)
+        assert_allclose(cplx.cexpm1(x).to_numpy(), np.exp(1j * x) - 1,
+                        atol=1e-15)
+        tiny = np.array([1e-9, -1e-12, 0.0])
+        assert_allclose(cplx.cexpm1(tiny).to_numpy(), np.expm1(1j * tiny),
+                        rtol=1e-12, atol=1e-30)
+
+    def test_reductions(self):
+        z = randc(3, 5, 5)
+        c = cplx.asc(z)
+        assert_allclose(c.sum(axis=0).to_numpy(), z.sum(axis=0))
+        assert_allclose(c.trace().to_numpy(), np.trace(z, axis1=-2,
+                                                       axis2=-1))
+        assert_allclose(c.cumsum(axis=0).to_numpy(), z.cumsum(axis=0))
+        assert_allclose(cplx.abs2(c), np.abs(z)**2)
+
+
+class TestContractions:
+    def test_ceinsum2(self):
+        a, b = randc(3, 4, 5), randc(5, 4)
+        want = np.einsum('ijk,kj->ik', a, b)
+        got = cplx.ceinsum2('ijk,kj->ik', cplx.asc(a), cplx.asc(b))
+        assert_allclose(got.to_numpy(), want, rtol=1e-13)
+
+    def test_ceinsum_multi(self):
+        a, b, c = randc(4, 4), randc(4, 4), randc(4, 4)
+        want = np.einsum('ab,bc,cd->ad', a, b, c)
+        got = cplx.ceinsum('ab,bc,cd->ad', cplx.asc(a), cplx.asc(b),
+                           cplx.asc(c))
+        assert_allclose(got.to_numpy(), want, rtol=1e-12)
+
+    def test_ceinsum_mixed_real(self):
+        a = randc(3, 4)
+        r = rng.standard_normal((4, 6))
+        b = randc(6, 2)
+        want = np.einsum('ij,jk,kl->il', a, r, b)
+        got = cplx.ceinsum('ij,jk,kl->il', cplx.asc(a), r, cplx.asc(b))
+        assert_allclose(got.to_numpy(), want, rtol=1e-12)
+
+    def test_ceinsum_diagonal_subscripts(self):
+        # repeated index within one operand (diagonal extraction)
+        a = randc(10, 4, 4, 4, 4)
+        b = randc(3, 4, 4)
+        want = np.einsum('okmmn,amn->aokn', a, b)
+        got = cplx.ceinsum('okmmn,amn->aokn', cplx.asc(a), cplx.asc(b))
+        assert_allclose(got.to_numpy(), want, rtol=1e-12)
+
+    def test_under_jit_and_vmap(self):
+        a, b = randc(6, 3, 3), randc(6, 3, 3)
+
+        def f(x, y):
+            return (x @ y).trace()
+
+        got = jax.jit(jax.vmap(f))(cplx.asc(a), cplx.asc(b))
+        want = np.trace(a @ b, axis1=-2, axis2=-1)
+        assert_allclose(got.to_numpy(), want, rtol=1e-13)
+
+
+class TestLinalg:
+    def test_solve(self):
+        a = randc(4, 4) + 4 * np.eye(4)
+        b = randc(4, 3)
+        got = cplx.solve(cplx.asc(a), cplx.asc(b)).to_numpy()
+        assert_allclose(got, np.linalg.solve(a, b), rtol=1e-11)
+
+    def test_matrix_power(self):
+        a = randc(3, 3) / 3
+        for p in (0, 1, 2, 7, 16):
+            got = cplx.matrix_power(cplx.asc(a), p).to_numpy()
+            assert_allclose(got, np.linalg.matrix_power(a, p), rtol=1e-10,
+                            atol=1e-14)
+
+    @pytest.mark.parametrize('repeats', [1, 2, 3, 10, 1000])
+    def test_geometric_series(self, repeats):
+        # contractive T so the explicit sum is well conditioned
+        t = randc(4, 4) * 0.2
+        want = sum(np.linalg.matrix_power(t, g) for g in range(repeats))
+        got = cplx.geometric_series(cplx.asc(t), repeats).to_numpy()
+        assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+    def test_geometric_series_unitary(self):
+        # unimodular phases * unitary: the reference's hard case where
+        # (I - T) may be singular; binary doubling has no such issue.
+        h = randc(3, 3)
+        h = h + h.conj().T
+        w, v = np.linalg.eigh(h)
+        u = (v * np.exp(1j * w)) @ v.conj().T
+        want = sum(np.linalg.matrix_power(u, g) for g in range(64))
+        got = cplx.geometric_series(cplx.asc(u), 64).to_numpy()
+        assert_allclose(got, want, rtol=1e-10, atol=1e-10)
+
+    @pytest.mark.parametrize('d', [2, 3, 4, 6, 16])
+    def test_eigh(self, d):
+        h = randc(5, d, d)
+        h = h + h.conj().swapaxes(-1, -2)
+        w, v = cplx.eigh(cplx.asc(h))
+        w, vn = np.asarray(w), v.to_numpy()
+        assert_allclose(h @ vn, vn * w[..., None, :], atol=1e-12)
+        assert_allclose(vn.conj().swapaxes(-1, -2) @ vn,
+                        np.broadcast_to(np.eye(d), (5, d, d)), atol=1e-12)
+
+    @pytest.mark.parametrize('d', [2, 4, 6])
+    def test_eigh_embedded_matches(self, d):
+        """The TPU real-embedding path must agree with the native path
+        up to degenerate-subspace gauge; check the invariants."""
+        h = randc(3, d, d)
+        h = h + h.conj().swapaxes(-1, -2)
+        re, im = jnp.asarray(h.real), jnp.asarray(h.imag)
+        w, vx, vy = cplx._eigh_embedded(re, im)
+        vn = np.asarray(vx) + 1j * np.asarray(vy)
+        w = np.asarray(w)
+        assert_allclose(h @ vn, vn * w[..., None, :], atol=1e-12)
+        assert_allclose(w, np.linalg.eigvalsh(h), atol=1e-12)
+
+    def test_eigh_embedded_degenerate(self):
+        h = np.zeros((2, 4, 4), complex)
+        h[1] = np.diag([1., 1., 5., 5.])
+        w, vx, vy = cplx._eigh_embedded(jnp.asarray(h.real),
+                                        jnp.asarray(h.imag))
+        vn = np.asarray(vx) + 1j * np.asarray(vy)
+        assert_allclose(vn.conj().swapaxes(-1, -2) @ vn,
+                        np.broadcast_to(np.eye(4), (2, 4, 4)), atol=1e-12)
+        assert_allclose(h @ vn, vn * np.asarray(w)[..., None, :],
+                        atol=1e-12)
+
+    def test_eigh_grad(self):
+        """custom JVP: gradient of an eigenvalue-based loss vs finite
+        differences."""
+        h0 = randc(3, 3)
+        h0 = h0 + h0.conj().T
+
+        def loss(x):
+            hre = jnp.asarray(h0.real) + x * jnp.eye(3)
+            w, _ = cplx.eigh(cplx.C(hre, jnp.asarray(h0.imag)))
+            return (w**2).sum()
+
+        g = jax.grad(loss)(0.0)
+        eps = 1e-6
+        fd = (loss(eps) - loss(-eps)) / (2 * eps)
+        assert_allclose(g, fd, rtol=1e-5)

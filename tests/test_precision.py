@@ -1,0 +1,251 @@
+"""Precision tests against analytic closed forms and the reference
+implementation (mirrors the strategy of the reference's
+tests/test_precision.py: atol 1e-10 parity with FID/SE/CPMG/UDD/PDD/CDD,
+frequency-integral checks against dense quadrature, and the CNOT golden
+data)."""
+import numpy as np
+import pytest
+
+import filter_functions_tpu as ff
+from filter_functions_tpu import analytic, cplx, numeric
+from conftest import HAVE_REFERENCE
+from testutil import (assert_allclose, cnot_data, generate_dd_hamiltonian,
+                      rng, sigma, to_np)
+
+
+def dephasing_pulse_ff(H_c, dt, omega, n_coeff=None):
+    """Filter function of an X-drive pulse with sigma_z/2 dephasing."""
+    n_dt = len(dt)
+    H_n = [[sigma[3] / 2, np.ones(n_dt) if n_coeff is None else n_coeff]]
+    pulse = ff.PulseSequence(H_c, H_n, dt)
+    return to_np(pulse.get_filter_function(omega))[0, 0].real
+
+
+class TestAnalyticFilterFunctions:
+    """Numeric FF == closed forms x 1/omega^2 at atol 1e-10
+    (cf. reference test_precision.py:75-183)."""
+
+    def test_fid(self):
+        tau = 0.5 + rng.random()
+        omega = np.linspace(0.1, 50 / tau, 1000)
+        pulse = ff.PulseSequence([[sigma[3] / 2, [0.0], 'Z']],
+                                 [[sigma[3] / 2, [1.0]]], [tau])
+        got = to_np(pulse.get_filter_function(omega))[0, 0].real
+        want = analytic.FID(omega * tau) / omega**2
+        assert_allclose(got, want, rtol=0, atol=1e-10)
+
+    def test_spin_echo(self):
+        tau = np.pi
+        tau_pi = 1e-8
+        n = 1
+        H_c, dt = generate_dd_hamiltonian(n, tau=tau, tau_pi=tau_pi,
+                                          dd_type='cpmg')
+        omega = np.logspace(0, 2, 200)
+        got = dephasing_pulse_ff(H_c, dt, omega)
+        want = analytic.SE(omega * tau) / omega**2
+        assert_allclose(got, want, rtol=0, atol=1e-10)
+
+    @pytest.mark.parametrize('n', [4, 5])
+    def test_cpmg(self, n):
+        tau = np.pi
+        H_c, dt = generate_dd_hamiltonian(n, tau=tau, tau_pi=1e-9,
+                                          dd_type='cpmg')
+        omega = np.logspace(0, 2, 200)
+        got = dephasing_pulse_ff(H_c, dt, omega)
+        want = analytic.CPMG(omega * tau, n) / omega**2
+        assert_allclose(got, want, rtol=0, atol=1e-10)
+
+    @pytest.mark.parametrize('n', [4, 5])
+    def test_udd(self, n):
+        tau = np.pi
+        omega = np.logspace(0, 3, 100)
+        H_c, dt = generate_dd_hamiltonian(n, tau=tau, tau_pi=1e-9,
+                                          dd_type='udd')
+        got = dephasing_pulse_ff(H_c, dt, omega)
+        want = analytic.UDD(omega * tau, n) / omega**2
+        assert_allclose(got, want, rtol=0, atol=1e-10)
+
+    @pytest.mark.parametrize('n', [4, 5])
+    def test_pdd(self, n):
+        tau = np.pi
+        omega = np.logspace(0, 3, 100)
+        H_c, dt = generate_dd_hamiltonian(n, tau=tau, tau_pi=1e-9,
+                                          dd_type='pdd')
+        got = dephasing_pulse_ff(H_c, dt, omega)
+        want = analytic.PDD(omega * tau, n) / omega**2
+        assert_allclose(got, want, rtol=0, atol=1e-10)
+
+    @pytest.mark.parametrize('g', [2, 3])
+    def test_cdd(self, g):
+        tau = np.pi
+        omega = np.logspace(0, 3, 100)
+        H_c, dt = generate_dd_hamiltonian(g, tau=tau, tau_pi=1e-9,
+                                          dd_type='cdd')
+        got = dephasing_pulse_ff(H_c, dt, omega)
+        want = analytic.CDD(omega * tau, g) / omega**2
+        assert_allclose(got, want, rtol=0, atol=1e-10)
+
+
+class TestIntegralsAgainstQuadrature:
+    """K1/K2/K3 frequency integrals vs dense trapezoid quadrature on a
+    fine time grid (cf. reference test_precision.py:355-468)."""
+
+    def setup_method(self):
+        self.d = 3
+        self.dt = 0.5 + rng.random()
+        eigvals = rng.standard_normal(self.d) * 3
+        self.eigvals = np.sort(eigvals)
+        self.omega = np.concatenate([
+            np.linspace(0.5, 20, 13),
+            [0.0],
+            -self.eigvals[1] + self.eigvals[0:1],  # hit omega = -Omega_mn
+        ])
+        self.tgrid = np.linspace(0, self.dt, 6001)
+
+    def test_first_order(self):
+        got = numeric._first_order_integral_batched(
+            cplx.jnp.asarray(self.omega), cplx.jnp.asarray(self.eigvals),
+            cplx.jnp.asarray(self.dt))
+        got = to_np(got)
+        dE = np.subtract.outer(self.eigvals, self.eigvals)
+        for o, w in enumerate(self.omega):
+            phase = np.exp(1j * (w + dE[None]) * self.tgrid[:, None, None])
+            want = np.trapezoid(phase, self.tgrid, axis=0)
+            assert_allclose(got[o], want, atol=1e-7)
+
+    def test_second_order(self):
+        got = to_np(numeric._second_order_integral_single(
+            cplx.jnp.asarray(self.omega), cplx.jnp.asarray(self.eigvals),
+            float(self.dt)))
+        dE = np.subtract.outer(self.eigvals, self.eigvals)
+        t = self.tgrid
+        # I_ijmn = int_0^dt dt1 e^{i(O_ij - w) t1} int_0^t1 dt2
+        #          e^{i(O_mn + w) t2}
+        for o, w in enumerate(self.omega[:6]):
+            inner = np.concatenate([
+                np.zeros((1, self.d, self.d)),
+                np.cumsum((np.exp(1j * (w + dE[None]) * t[:-1, None, None])
+                           + np.exp(1j * (w + dE[None])
+                                    * t[1:, None, None])) / 2
+                          * np.diff(t)[:, None, None], axis=0)])
+            outer = np.exp(1j * (dE[None] - w) * t[:, None, None])
+            integrand = outer[:, :, :, None, None] \
+                * inner[:, None, None, :, :]
+            want = np.trapezoid(integrand, t, axis=0)
+            assert_allclose(got[o], want, atol=5e-6,
+                            err_msg=f'omega={w}')
+
+    def test_derivative_integral(self):
+        from filter_functions_tpu import gradient
+        got = to_np(gradient._derivative_integral(
+            cplx.jnp.asarray(self.omega), cplx.jnp.asarray(self.eigvals),
+            float(self.dt)))
+        dE = np.subtract.outer(self.eigvals, self.eigvals)
+        t = self.tgrid
+        # Quadrature form matching the reference's definition
+        # (gradient.py:69-108):
+        #   I = int_0^dt e^{iyt} phi_pq(t) dt,
+        #   phi_pq(t) = i (1 - e^{i O_pq t}) / O_pq   (-> t as O_pq -> 0)
+        # with y = omega + Omega_mn.
+        for o, w in enumerate(self.omega[:6]):
+            y = w + dE
+            for p in range(self.d):
+                for q in range(self.d):
+                    opq = dE[p, q]
+                    if opq != 0:
+                        factor = 1j * (1 - np.exp(1j * opq * t)) / opq
+                    else:
+                        factor = t.astype(complex)
+                    integrand = np.exp(
+                        1j * y[None] * t[:, None, None]) \
+                        * factor[:, None, None]
+                    want = np.trapezoid(integrand, t, axis=0)
+                    assert_allclose(got[o, p, q], want, atol=5e-6)
+
+
+@pytest.mark.skipif(not HAVE_REFERENCE, reason='reference unavailable')
+class TestReferenceParity:
+    """Direct parity with the reference package on identical inputs."""
+
+    @pytest.mark.parametrize('d,n_dt', [(2, 5), (3, 4), (4, 6)])
+    def test_control_matrix_and_ff(self, d, n_dt):
+        from testutil import pulse_pair
+        ours, theirs = pulse_pair(d, n_dt)
+        omega = np.linspace(-10, 10, 51)
+        ctrl_ours = to_np(ours.get_control_matrix(omega))
+        ctrl_theirs = theirs.get_control_matrix(omega)
+        assert_allclose(ctrl_ours, ctrl_theirs, atol=1e-12)
+        ff_ours = to_np(ours.get_filter_function(omega, which='generalized'))
+        ff_theirs = theirs.get_filter_function(omega, which='generalized')
+        assert_allclose(ff_ours, ff_theirs, atol=1e-12)
+
+    def test_infidelity(self):
+        from testutil import pulse_pair
+        ours, theirs = pulse_pair(3, 7)
+        omega = np.linspace(0.1, 30, 201)
+        spectrum = 1e-2 / omega**0.7
+        i_ours = np.asarray(ff.infidelity(ours, spectrum, omega))
+        import filter_functions as ref
+        i_theirs = ref.infidelity(theirs, spectrum, omega)
+        assert_allclose(i_ours, i_theirs, rtol=1e-12)
+
+    def test_second_order_ff(self):
+        from testutil import pulse_pair
+        ours, theirs = pulse_pair(2, 4)
+        omega = np.linspace(-5, 5, 21)
+        got = to_np(ours.get_filter_function(omega, order=2))
+        want = theirs.get_filter_function(omega, order=2)
+        assert_allclose(got, want, atol=1e-12)
+
+    def test_error_transfer_matrix(self):
+        from testutil import pulse_pair
+        import filter_functions as ref
+        ours, theirs = pulse_pair(2, 5)
+        omega = np.linspace(-10, 10, 100)  # even count: omega = 0 excluded
+        spectrum = 1e-2 / np.abs(omega)**0.7
+        got = np.asarray(ff.error_transfer_matrix(ours, spectrum, omega))
+        want = ref.error_transfer_matrix(theirs, spectrum, omega)
+        assert_allclose(got, want, atol=1e-12)
+        got2 = np.asarray(ff.error_transfer_matrix(ours, spectrum, omega,
+                                                   second_order=True))
+        want2 = ref.error_transfer_matrix(theirs, spectrum, omega,
+                                          second_order=True)
+        assert_allclose(got2, want2, atol=1e-12)
+
+    def test_cumulant_multiqubit(self):
+        """d = 4 exercises the general trace-contraction path."""
+        from testutil import pulse_pair
+        import filter_functions as ref
+        ours, theirs = pulse_pair(4, 3)
+        omega = np.linspace(-5, 5, 41)
+        spectrum = 1e-2 / (1 + omega**2)
+        got = np.asarray(numeric.calculate_cumulant_function(
+            ours, spectrum, omega))
+        want = ref.numeric.calculate_cumulant_function(
+            theirs, spectrum, omega)
+        assert_allclose(got, want, atol=1e-12)
+
+
+@pytest.mark.skipif(not HAVE_REFERENCE, reason='needs golden data')
+class TestCNOTGolden:
+    def test_infidelity_parity(self):
+        """Infidelity of the 6-level CNOT vs MATLAB golden values
+        (mirrors reference test_precision.py:274-310): qubit-subspace
+        Pauli basis padded into the 6-level space, d set to the
+        4-dimensional computational subspace."""
+        data = cnot_data()
+        identifiers = ['eps_12', 'eps_23', 'eps_34', 'b_12', 'b_23', 'b_34']
+        H_c = list(zip(data['opers'], data['c_coeffs'], identifiers))
+        H_n = list(zip(data['opers'], data['n_coeffs'], identifiers))
+        qubit_basis = ff.Basis(
+            [np.pad(b, 1, 'constant') for b in ff.Basis.pauli(2)[1:]],
+            btype='Pauli')
+        pulse = ff.PulseSequence(H_c, H_n, data['dt'], basis=qubit_basis)
+        pulse.d = 4  # computational subspace dimension
+        omega = np.geomspace(1 / pulse.tau, 1e2, 250)
+        for amp, alpha, golden in zip(data['amp'], data['alpha'],
+                                      data['infid_fast']):
+            spectrum = amp / omega**alpha
+            infid = np.asarray(ff.infidelity(pulse, spectrum, omega,
+                                             identifiers[:3]))
+            assert abs(1 - infid.sum() / golden) <= 0.10
