@@ -18,7 +18,9 @@ from .basis import Basis
 from .gradient import infidelity_derivative
 from .numeric import error_transfer_matrix, infidelity
 from .pulse_sequence import (PulseSequence, concatenate,
-                             concatenate_periodic, extend, remap)
+                             concatenate_periodic,
+                             concatenate_without_filter_function, extend,
+                             remap)
 from .superoperator import liouville_representation
 
 __all__ = ['Basis', 'PulseSequence', 'concatenate', 'concatenate_periodic',

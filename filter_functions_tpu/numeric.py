@@ -999,7 +999,7 @@ def infidelity(pulse, spectrum, omega, n_oper_identifiers=None,
         t2 = (np.asarray(pulse.dt) * np.asarray(pulse.n_coeffs)[idx]).sum(
             axis=-1)**2
         t3 = np.asarray(
-            util.abs2(pulse.n_opers_np[idx])).sum(axis=(1, 2))
+            util.abs2(np.asarray(pulse.n_opers)[idx])).sum(axis=(1, 2))
         xi = jnp.sqrt((t1 * t2 * t3).sum())
         return infid, xi
     return infid

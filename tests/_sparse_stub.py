@@ -56,6 +56,25 @@ class COO:
     def __array__(self, dtype=None, copy=None):
         return np.asarray(self._data, dtype=dtype)
 
+    def __add__(self, other):
+        return COO(self._data + _dense(other))
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        return COO(self._data - _dense(other))
+
+    def __rsub__(self, other):
+        return COO(_dense(other) - self._data)
+
+    def __mul__(self, other):
+        return COO(self._data * _dense(other))
+
+    __rmul__ = __mul__
+
+    def __neg__(self):
+        return COO(-self._data)
+
 
 def _dense(x):
     return x.todense() if isinstance(x, COO) else np.asarray(x)

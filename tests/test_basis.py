@@ -1,0 +1,164 @@
+"""Basis tests: constructors, characteristics, expansions, FF
+basis-independence (cf. reference tests/test_basis.py)."""
+import numpy as np
+import pytest
+
+import filter_functions_tpu as ff
+from filter_functions_tpu import cplx
+from filter_functions_tpu.basis import (Basis, equivalent_pauli_basis_elements,
+                                        expand, ggm_expand,
+                                        remap_pauli_basis_elements)
+from conftest import HAVE_REFERENCE
+from testutil import (assert_allclose, rand_herm, rand_herm_traceless,
+                      rand_pulse_arrays, make_pulse, rng, to_np)
+
+
+class TestConstructors:
+    @pytest.mark.parametrize('n', [1, 2, 3])
+    def test_pauli(self, n):
+        b = Basis.pauli(n)
+        d = 2**n
+        assert b.shape == (d * d, d, d)
+        assert b.isherm and b.isorthonorm and b.istraceless and b.iscomplete
+        assert b.btype == 'Pauli'
+        # first element is the normalized identity
+        assert_allclose(b[0], np.eye(d) / np.sqrt(d))
+
+    @pytest.mark.parametrize('d', [2, 3, 5, 8])
+    def test_ggm(self, d):
+        b = Basis.ggm(d)
+        assert b.shape == (d * d, d, d)
+        assert b.isherm and b.isorthonorm and b.istraceless and b.iscomplete
+        gram = np.einsum('iab,jba->ij', b.np.conj().swapaxes(-1, -2), b.np)
+        assert_allclose(gram, np.eye(d * d), atol=1e-14)
+
+    @pytest.mark.skipif(not HAVE_REFERENCE, reason='reference unavailable')
+    @pytest.mark.parametrize('d', [2, 3, 4, 6])
+    def test_ggm_matches_reference(self, d):
+        import filter_functions as ref
+        assert_allclose(Basis.ggm(d).np, np.asarray(ref.Basis.ggm(d)),
+                        atol=1e-15)
+
+    @pytest.mark.skipif(not HAVE_REFERENCE, reason='reference unavailable')
+    @pytest.mark.parametrize('n', [1, 2])
+    def test_pauli_matches_reference(self, n):
+        import filter_functions as ref
+        assert_allclose(Basis.pauli(n).np, np.asarray(ref.Basis.pauli(n)),
+                        atol=1e-15)
+
+    def test_from_partial(self):
+        elems = Basis.pauli(1)[:2]
+        b = Basis.from_partial(elems)
+        assert b.iscomplete and b.isorthonorm
+        assert np.allclose(b[0], elems[0]) and np.allclose(b[1], elems[1])
+
+    def test_from_partial_traceless_error(self):
+        elem = rand_herm(3)[0]
+        elem += np.eye(3)  # definitely not traceless
+        with pytest.raises(ValueError):
+            Basis.from_partial([elem], traceless=True)
+
+    def test_overcomplete_error(self):
+        with pytest.raises(ValueError):
+            Basis(rand_herm(2, 5))
+
+    def test_characteristics_custom(self):
+        b = Basis(rand_herm(3, 4))
+        assert b.isherm
+        assert not b.iscomplete
+        nonherm = Basis(rng.standard_normal((2, 3, 3))
+                        + 1j * rng.standard_normal((2, 3, 3)))
+        assert not nonherm.isherm
+
+
+class TestExpansion:
+    @pytest.mark.parametrize('d', [2, 3, 5])
+    def test_expand_roundtrip(self, d):
+        b = Basis.ggm(d)
+        m = rand_herm(d, 4)
+        coeffs = b.expand(m, hermitian=True)
+        recon = np.einsum('nj,jab->nab', coeffs, b.np)
+        assert_allclose(recon, m, atol=1e-13)
+
+    @pytest.mark.parametrize('d', [2, 3, 5])
+    def test_ggm_expand_equals_inner_products(self, d):
+        b = Basis.ggm(d)
+        m = rng.standard_normal((4, d, d)) \
+            + 1j * rng.standard_normal((4, d, d))
+        fast = ggm_expand(m)
+        slow = expand(m, b)
+        assert_allclose(fast, slow, atol=1e-13)
+
+    def test_ggm_expand_device(self):
+        d = 4
+        m = rng.standard_normal((3, d, d)) \
+            + 1j * rng.standard_normal((3, d, d))
+        dev = ggm_expand(cplx.asc(m))
+        host = ggm_expand(m)
+        assert_allclose(dev.to_numpy(), host, atol=1e-13)
+
+    def test_expand_device_matches_host(self):
+        d = 3
+        b = Basis.ggm(d)
+        m = rand_herm(d, 2)
+        dev = expand(cplx.asc(m), b, hermitian=True)
+        host = expand(m, b, hermitian=True)
+        assert_allclose(np.asarray(dev), host, atol=1e-13)
+
+    def test_ff_invariant_under_basis_choice(self):
+        """Fidelity filter function must not depend on the basis."""
+        arrays = rand_pulse_arrays(4, 3)
+        omega = np.linspace(0.5, 10, 11)
+        f_ggm = to_np(make_pulse(arrays, 'GGM').get_filter_function(omega))
+        f_pauli = to_np(
+            make_pulse(arrays, 'Pauli').get_filter_function(omega))
+        assert_allclose(f_ggm, f_pauli, atol=1e-12)
+
+
+class TestTraceTensor:
+    @pytest.mark.parametrize('d', [2, 3])
+    def test_four_element_traces(self, d):
+        b = Basis.ggm(d)
+        t = b.four_element_traces
+        want = np.einsum('iab,jbc,kcd,lda->ijkl', b.np, b.np, b.np, b.np)
+        assert_allclose(t, want, atol=1e-14)
+
+    def test_pauli_mult_table(self):
+        for n in (1, 2):
+            b = Basis.pauli(n)
+            idx, phase = b.pauli_mult_table()
+            d = 2**n
+            prod = np.einsum('iab,jbc->ijac', b.np, b.np)
+            want = phase[..., None, None] / np.sqrt(d) * b.np[idx]
+            assert_allclose(prod, want, atol=1e-14)
+
+
+class TestPauliIndexMachinery:
+    def test_equivalent_elements(self):
+        # single qubit 0 of 2: elements I?, X?, Y?, Z? with ? = I
+        got = equivalent_pauli_basis_elements([0], 2)
+        assert list(got) == [0, 4, 8, 12]
+        got = equivalent_pauli_basis_elements([1], 2)
+        assert list(got) == [0, 1, 2, 3]
+
+    def test_remap_elements(self):
+        n = 2
+        b = Basis.pauli(n)
+        perm = remap_pauli_basis_elements([1, 0], n)
+        # remapped basis element perm[i] == tensor-transposed element i
+        from filter_functions_tpu import util
+        transposed = util.tensor_transpose(b.np, [1, 0], [[2, 2], [2, 2]])
+        assert_allclose(b.np[perm], transposed, atol=1e-15)
+
+    @pytest.mark.skipif(not HAVE_REFERENCE, reason='reference unavailable')
+    def test_index_machinery_matches_reference(self):
+        from filter_functions.basis import (
+            equivalent_pauli_basis_elements as ref_eq,
+            remap_pauli_basis_elements as ref_remap)
+        for n in (2, 3):
+            for idx in ([0], [1], [0, 2] if n == 3 else [0, 1]):
+                assert_allclose(equivalent_pauli_basis_elements(idx, n),
+                                ref_eq(idx, n))
+            for order in ([1, 0] if n == 2 else [2, 0, 1],):
+                assert_allclose(remap_pauli_basis_elements(order, n),
+                                ref_remap(order, n))

@@ -1,0 +1,302 @@
+"""PulseSequence core tests: construction validation, caching
+semantics, cleanup tiers, equality, slicing, noise operators
+(cf. reference tests/test_core.py)."""
+import copy
+
+import numpy as np
+import pytest
+
+import filter_functions_tpu as ff
+from filter_functions_tpu import numeric, util
+from filter_functions_tpu.basis import Basis, expand
+from filter_functions_tpu.cplx import asc
+from conftest import HAVE_REFERENCE
+from testutil import (assert_allclose, make_pulse, rand_pulse_arrays,
+                      rand_pulse_sequence, rng, sigma, to_np)
+
+
+class TestConstruction:
+    def test_identifier_sorting(self):
+        X, Z = sigma[1], sigma[3]
+        p = ff.PulseSequence([[X, [1.0], 'b'], [Z, [2.0], 'a']],
+                             [[Z, [1.0], 'z'], [X, [1.0], 'y']], [1.0])
+        assert list(p.c_oper_identifiers) == ['a', 'b']
+        assert_allclose(p.c_opers[0], Z)
+        assert_allclose(p.c_coeffs[0], [2.0])
+        assert list(p.n_oper_identifiers) == ['y', 'z']
+
+    def test_auto_identifiers(self):
+        X, Z = sigma[1], sigma[3]
+        p = ff.PulseSequence([[X, [1.0]], [Z, [1.0]]],
+                             [[Z, [1.0]]], [1.0])
+        assert list(p.c_oper_identifiers) == ['A_0', 'A_1']
+        assert list(p.n_oper_identifiers) == ['B_0']
+
+    def test_validation_errors(self):
+        X, Z = sigma[1], sigma[3]
+        with pytest.raises(TypeError):
+            ff.PulseSequence([[X, [1.0]]], [[Z, [1.0]]], 4)
+        with pytest.raises(TypeError):
+            ff.PulseSequence(X, [[Z, [1.0]]], [1.0])
+        with pytest.raises(ValueError):
+            # rows of X parse as (oper, coeffs) with wrong coeff length
+            ff.PulseSequence([X], [[Z, [1.0]]], [1.0])
+        with pytest.raises(ValueError):
+            ff.PulseSequence([[X, [1.0]]], [[Z, [1.0]]], [1.0],
+                             basis=Basis.ggm(3))
+        with pytest.raises(ValueError):
+            ff.PulseSequence([[X, [1.0]]], [[Z, [1.0]]], [1.0],
+                             basis='not a basis')
+        with pytest.raises(ValueError):
+            ff.PulseSequence([[X, [1.0, 2.0]]], [[Z, [1.0]]], [1.0])
+
+    def test_from_arrays_validation(self):
+        a = rand_pulse_arrays(2, 3)
+        with pytest.raises(ValueError):
+            ff.PulseSequence.from_arrays(a[0][:1], a[1], a[2], a[3], a[4],
+                                         a[5], a[6])
+        with pytest.raises(ValueError):
+            ff.PulseSequence.from_arrays(a[0], a[1], a[2][:, :2], a[3],
+                                         a[4], a[5], a[6])
+        with pytest.raises(ValueError):
+            ff.PulseSequence.from_arrays(a[0], a[1], a[2], a[3], a[4],
+                                         a[5], a[6], basis=Basis.ggm(3))
+
+    def test_attributes(self):
+        p = rand_pulse_sequence(2, 5)
+        assert len(p) == 5
+        assert p.d == 2
+        assert_allclose(p.t, np.concatenate([[0], p.dt.cumsum()]))
+        assert_allclose(p.tau, p.dt.sum())
+        assert p.duration == p.tau
+
+
+class TestCaching:
+    def test_lazy_diagonalization(self):
+        p = rand_pulse_sequence(2, 4)
+        assert not p.is_cached('eigvals')
+        _ = p.eigvals
+        assert p.is_cached('eigvals') and p.is_cached('eigvecs')
+        assert p.is_cached('propagators')
+
+    def test_diagonalization_correct(self):
+        p = rand_pulse_sequence(3, 5)
+        p.diagonalize()
+        ham = np.einsum('ijk,il->ljk', p.c_opers, p.c_coeffs)
+        v = to_np(p.eigvecs)
+        w = np.asarray(p.eigvals)
+        assert_allclose(v.conj().swapaxes(-1, -2) @ ham @ v,
+                        np.einsum('gi,ij->gij', w, np.eye(3)), atol=1e-12)
+        # propagators are unitary and satisfy the composition rule
+        q = to_np(p.propagators)
+        assert_allclose(q[0], np.eye(3), atol=1e-15)
+        assert_allclose(q @ q.conj().swapaxes(-1, -2),
+                        np.broadcast_to(np.eye(3), q.shape), atol=1e-12)
+
+    def test_is_cached_aliases(self):
+        p = rand_pulse_sequence(2, 3)
+        omega = np.linspace(1, 5, 7)
+        assert not p.is_cached('filter function')
+        assert not p.is_cached('control matrix')
+        p.cache_filter_function(omega)
+        for alias in ('filter function', 'fidelity filter function',
+                      'control matrix', 'total phases', 'frequencies',
+                      'total propagator', 'total propagator liouville'):
+            assert p.is_cached(alias), alias
+
+    def test_omega_invalidation(self):
+        p = rand_pulse_sequence(2, 3)
+        omega = np.linspace(1, 5, 7)
+        p.cache_filter_function(omega)
+        assert p.is_cached('filter function')
+        p.omega = omega * 2
+        assert not p.is_cached('filter function')
+        assert p.is_cached('eigvals')  # time-domain data survives
+
+    def test_cleanup_tiers(self):
+        p = rand_pulse_sequence(2, 3)
+        omega = np.linspace(1, 5, 7)
+        p.get_filter_function(omega, cache_intermediates=True)
+        assert p.nbytes > 0
+        p.cleanup()  # conservative
+        assert not p.is_cached('eigvals')
+        assert p.is_cached('filter function')
+        p.diagonalize()
+        p.cleanup('greedy')
+        assert not p.is_cached('control matrix')
+        assert p.is_cached('filter function')
+        p.cleanup('all')
+        assert not p.is_cached('filter function')
+        assert len(p._intermediates) == 0
+
+    def test_cache_intermediates_consistency(self):
+        """Control matrix with and without intermediates must agree;
+        intermediates must reproduce the result."""
+        p1 = rand_pulse_sequence(2, 4)
+        p2 = copy.copy(p1)
+        p2.cleanup('all')
+        omega = np.linspace(0.5, 5, 9)
+        c1 = to_np(p1.get_control_matrix(omega, cache_intermediates=True))
+        c2 = to_np(p2.get_control_matrix(omega))
+        assert_allclose(c1, c2, atol=1e-14)
+        steps = to_np(p1._intermediates['control_matrix_step'])
+        assert_allclose(steps.sum(axis=0), c1, atol=1e-13)
+
+    def test_equality_segment_joining(self):
+        X, Z = sigma[1], sigma[3]
+        p1 = ff.PulseSequence([[X, [1.0, 1.0], 'X']],
+                              [[Z, [1.0, 1.0], 'Z']], [0.5, 0.5])
+        p2 = ff.PulseSequence([[X, [1.0], 'X']], [[Z, [1.0], 'Z']], [1.0])
+        assert p1 == p2
+        p3 = ff.PulseSequence([[X, [2.0], 'X']], [[Z, [1.0], 'Z']], [1.0])
+        assert p1 != p3
+        assert p1 != 'a string'
+
+    def test_copy_semantics(self):
+        p = rand_pulse_sequence(2, 3)
+        omega = np.linspace(1, 5, 7)
+        p.cache_filter_function(omega)
+        q = copy.copy(p)
+        q.cleanup('all')
+        assert p.is_cached('filter function')
+        assert not q.is_cached('filter function')
+
+
+class TestNoiseOperators:
+    """K7: Hilbert-space noise operators vs the control matrix."""
+
+    @pytest.mark.parametrize('d', [2, 3, 4])
+    def test_duality_with_control_matrix(self, d):
+        p = rand_pulse_sequence(d, 4)
+        omega = np.linspace(0.5, 5, 9)
+        p.diagonalize()
+        nops = numeric.calculate_noise_operators_from_scratch(
+            p.eigvals, p.eigvecs, p.propagators, omega, p.n_opers_dev,
+            p.n_coeffs, p.dt)
+        ctrl = to_np(p.get_control_matrix(omega))
+        # ctrlmat == basis expansion of the noise operators, transposed
+        coeffs = expand(nops, p.basis)
+        got = coeffs.to_numpy().transpose(1, 2, 0)
+        assert_allclose(got, ctrl, atol=1e-12)
+
+    def test_atomic_equals_scratch(self):
+        """Concatenating noise operators of segments == from scratch."""
+        arrays = rand_pulse_arrays(2, 4)
+        p = make_pulse(arrays)
+        omega = np.linspace(0.5, 5, 7)
+        p.diagonalize()
+        full = to_np(numeric.calculate_noise_operators_from_scratch(
+            p.eigvals, p.eigvecs, p.propagators, omega, p.n_opers_dev,
+            p.n_coeffs, p.dt))
+        # per-segment
+        pieces = []
+        for g in range(len(p)):
+            seg = p[g]
+            seg.diagonalize()
+            pieces.append(numeric.calculate_noise_operators_from_scratch(
+                seg.eigvals, seg.eigvecs, seg.propagators, omega,
+                seg.n_opers_dev, seg.n_coeffs, seg.dt))
+        from filter_functions_tpu.sequencing import _stack_c, _cumprod_c
+        atomic = _stack_c(pieces)
+        phases = _cumprod_c([p[g].get_total_phases(omega)
+                             for g in range(len(p) - 1)])
+        props = to_np(p.propagators)
+        boundary = _stack_c([asc(props[g]) for g in
+                             np.arange(1, len(p))])
+        got = to_np(numeric.calculate_noise_operators_from_atomic(
+            phases, atomic, boundary))
+        assert_allclose(got, full, atol=1e-12)
+
+
+class TestInfidelityModes:
+    def test_convergence_mode(self):
+        p = rand_pulse_sequence(2, 3)
+
+        def spectrum(omega):
+            return 1e-2 / omega
+
+        n_samples, infids = ff.infidelity(
+            p, spectrum, dict(n_min=50, n_max=100, n_points=3),
+            test_convergence=True)
+        assert len(n_samples) == len(infids)
+        assert np.all(np.isfinite(infids))
+        with pytest.raises(TypeError):
+            ff.infidelity(p, spectrum, np.linspace(1, 2, 5),
+                          test_convergence=True)
+        with pytest.raises(TypeError):
+            ff.infidelity(p, 1.0, dict(), test_convergence=True)
+
+    def test_return_smallness(self):
+        p = rand_pulse_sequence(2, 3)
+        omega = np.linspace(0.5, 5, 51)
+        infid, xi = ff.infidelity(p, 1e-2 / omega, omega,
+                                  return_smallness=True)
+        assert np.isfinite(float(xi)) and float(xi) > 0
+
+    @pytest.mark.skipif(not HAVE_REFERENCE, reason='reference unavailable')
+    def test_nontraceless_basis(self):
+        """Non-traceless basis triggers the trace-correction path."""
+        import filter_functions as ref
+        from testutil import pulse_pair
+        arrays = rand_pulse_arrays(2, 3)
+        # custom basis that is not traceless
+        elems = np.array([np.eye(2) + sigma[1], sigma[2], sigma[3],
+                          np.eye(2) - sigma[1]]) / np.sqrt(2)
+        q, _ = np.linalg.qr(elems.reshape(4, 4).T)
+        elems = q.T.reshape(4, 2, 2)
+        ours = make_pulse(arrays)
+        ours.basis = ff.Basis(elems)
+        theirs = make_pulse(arrays, cls=ref)
+        theirs.basis = ref.Basis(elems)
+        assert not ours.basis.istraceless
+        omega = np.linspace(0.5, 5, 21)
+        got = np.asarray(ff.infidelity(ours, 1e-2 / omega, omega))
+        want = ref.infidelity(theirs, 1e-2 / omega, omega)
+        assert_allclose(got, want, atol=1e-12)
+
+    @pytest.mark.skipif(not HAVE_REFERENCE, reason='reference unavailable')
+    def test_cross_correlated_spectra(self):
+        from testutil import pulse_pair
+        import filter_functions as ref
+        ours, theirs = pulse_pair(2, 4, n_nops=2)
+        omega = np.linspace(0.5, 5, 31)
+        s_one = 1e-2 / omega
+        spectrum = np.array([[s_one, 0.3 * s_one * (1 + 0.5j)],
+                             [0.3 * s_one * (1 - 0.5j), 2 * s_one]])
+        got = np.asarray(ff.infidelity(ours, spectrum, omega))
+        want = ref.infidelity(theirs, spectrum, omega)
+        assert_allclose(got, want, atol=1e-14)
+        got_d = np.asarray(numeric.calculate_decay_amplitudes(
+            ours, spectrum, omega))
+        want_d = ref.numeric.calculate_decay_amplitudes(
+            theirs, spectrum, omega)
+        assert_allclose(got_d, want_d, atol=1e-13)
+
+    @pytest.mark.skipif(not HAVE_REFERENCE, reason='reference unavailable')
+    def test_memory_parsimonious(self):
+        from testutil import pulse_pair
+        ours, _ = pulse_pair(2, 3)
+        omega = np.linspace(0.5, 5, 21)
+        spectrum = 1e-2 / omega
+        fat = np.asarray(numeric.calculate_decay_amplitudes(
+            ours, spectrum, omega))
+        thin = np.asarray(numeric.calculate_decay_amplitudes(
+            ours, spectrum, omega, memory_parsimonious=True))
+        assert_allclose(thin, fat, atol=1e-14)
+
+
+class TestPropagatorAtArbT:
+    def test_matches_segment_boundaries(self):
+        p = rand_pulse_sequence(2, 4)
+        q_at_t = to_np(p.propagator_at_arb_t(p.t[1:]))
+        q = to_np(p.propagators)[1:]
+        assert_allclose(q_at_t, q, atol=1e-12)
+
+    @pytest.mark.skipif(not HAVE_REFERENCE, reason='reference unavailable')
+    def test_matches_reference(self):
+        from testutil import pulse_pair
+        ours, theirs = pulse_pair(2, 4)
+        tt = np.sort(rng.random(7)) * float(ours.tau)
+        got = to_np(ours.propagator_at_arb_t(tt))
+        want = theirs.propagator_at_arb_t(tt)
+        assert_allclose(got, want, atol=1e-12)

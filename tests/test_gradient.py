@@ -1,0 +1,129 @@
+"""Gradient tests: the analytic (closed-form) infidelity derivative vs
+central finite differences, vs the reference implementation, and vs
+jax.grad through the whole split-complex pipeline (the TPU-native bonus
+path the reference cannot offer)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import filter_functions_tpu as ff
+from filter_functions_tpu import cplx, gradient, numeric
+from conftest import HAVE_REFERENCE
+from testutil import (assert_allclose, make_pulse, rand_pulse_arrays, rng,
+                      sigma, to_np)
+
+
+def finite_diff_infid(arrays, spectrum, omega, delta=1e-6):
+    """Central finite differences of infidelity w.r.t. c_coeffs."""
+    c_opers, c_ids, c_coeffs, n_opers, n_ids, n_coeffs, dt = arrays
+    n_ctrl, n_dt = c_coeffs.shape
+    grad = np.zeros((len(n_opers), n_dt, n_ctrl))
+    for h in range(n_ctrl):
+        for g in range(n_dt):
+            for sign in (+1, -1):
+                cc = c_coeffs.copy()
+                cc[h, g] += sign * delta
+                pulse = make_pulse((c_opers, c_ids, cc, n_opers, n_ids,
+                                    n_coeffs, dt))
+                infid = np.asarray(ff.infidelity(pulse, spectrum, omega))
+                grad[:, g, h] += sign * infid / (2 * delta)
+    return grad
+
+
+class TestGradient:
+    def setup_method(self):
+        self.arrays = rand_pulse_arrays(2, 4, n_cops=2, n_nops=2)
+        self.omega = np.linspace(0.1, 30, 201)
+        self.spectrum = 1e-3 / self.omega
+
+    def test_against_finite_differences(self):
+        pulse = make_pulse(self.arrays)
+        grad_analytic = np.asarray(ff.infidelity_derivative(
+            pulse, self.spectrum, self.omega))
+        grad_fd = finite_diff_infid(self.arrays, self.spectrum, self.omega)
+        # analytic output is identifier-sorted along the control axis;
+        # finite differences perturbed the unsorted input arrays
+        order = np.argsort(self.arrays[1])
+        assert_allclose(grad_analytic, grad_fd[..., order], rtol=1e-5,
+                        atol=1e-10)
+
+    @pytest.mark.skipif(not HAVE_REFERENCE, reason='reference unavailable')
+    def test_against_reference(self):
+        import filter_functions as ref
+        ours = make_pulse(self.arrays)
+        theirs = make_pulse(self.arrays, cls=ref)
+        got = np.asarray(ff.infidelity_derivative(ours, self.spectrum,
+                                                  self.omega))
+        want = ref.infidelity_derivative(theirs, self.spectrum, self.omega)
+        assert_allclose(got, want, atol=1e-12)
+
+    @pytest.mark.skipif(not HAVE_REFERENCE, reason='reference unavailable')
+    def test_ff_derivative_against_reference(self):
+        import filter_functions as ref
+        ours = make_pulse(self.arrays)
+        theirs = make_pulse(self.arrays, cls=ref)
+        got = np.asarray(ours.get_filter_function_derivative(self.omega))
+        want = theirs.get_filter_function_derivative(self.omega)
+        assert_allclose(got, want, atol=1e-12)
+
+    @pytest.mark.skipif(not HAVE_REFERENCE, reason='reference unavailable')
+    def test_n_coeffs_deriv_against_reference(self):
+        """Noise sensitivities depending on control amplitudes."""
+        import filter_functions as ref
+        ours = make_pulse(self.arrays)
+        theirs = make_pulse(self.arrays, cls=ref)
+        n_nops = len(ours.n_opers)
+        n_ctrl = len(ours.c_opers)
+        ncd = rng.standard_normal((n_nops, n_ctrl, len(ours)))
+        got = np.asarray(ff.infidelity_derivative(
+            ours, self.spectrum, self.omega, n_coeffs_deriv=ncd))
+        want = ref.infidelity_derivative(theirs, self.spectrum, self.omega,
+                                         n_coeffs_deriv=ncd)
+        assert_allclose(got, want, atol=1e-12)
+
+    def test_identifier_subset(self):
+        pulse = make_pulse(self.arrays)
+        c_ids = sorted(pulse.c_oper_identifiers)
+        n_ids = sorted(pulse.n_oper_identifiers)
+        full = np.asarray(ff.infidelity_derivative(pulse, self.spectrum,
+                                                   self.omega))
+        part = np.asarray(ff.infidelity_derivative(
+            pulse, self.spectrum[:], self.omega,
+            control_identifiers=[c_ids[1]], n_oper_identifiers=[n_ids[0]]))
+        assert_allclose(part[0, :, 0], full[0, :, 1], atol=1e-12)
+
+
+class TestJaxGrad:
+    """Automatic differentiation through the split-complex pipeline."""
+
+    def test_jax_grad_matches_closed_form(self):
+        arrays = rand_pulse_arrays(2, 3, n_cops=2, n_nops=1)
+        c_opers, c_ids, c_coeffs, n_opers, n_ids, n_coeffs, dt = arrays
+        omega = np.linspace(0.1, 20, 101)
+        spectrum = 1e-3 / omega
+        basis = ff.Basis.ggm(2)
+
+        def infid_fn(cc):
+            ham = ff.util.ceinsum('jmn,jg->gmn', cplx.asc(c_opers), cc)
+            eigvals, eigvecs, props = numeric.diagonalize(
+                ham, jnp.asarray(dt))
+            ctrl = numeric.calculate_control_matrix_from_scratch(
+                eigvals, eigvecs, props, jnp.asarray(omega), basis,
+                cplx.asc(n_opers), n_coeffs, dt)
+            f = numeric.calculate_filter_function(ctrl)
+            integrand = f.re[0, 0] * spectrum
+            return ff.util.integrate(integrand, jnp.asarray(omega)) \
+                / (2 * np.pi * 2)
+
+        grad_ad = np.asarray(jax.grad(infid_fn)(jnp.asarray(c_coeffs)))
+
+        pulse = make_pulse(arrays)
+        grad_cf = np.asarray(ff.infidelity_derivative(pulse, spectrum,
+                                                      omega))
+        # closed form is (n_nops, n_dt, n_ctrl); AD is (n_ctrl, n_dt).
+        # Sorting: pulse stores opers sorted by identifier; infid_fn used
+        # the unsorted arrays, so match via the identifier order.
+        order = np.argsort(c_ids)
+        assert_allclose(grad_ad[order].T, grad_cf[0], rtol=1e-8,
+                        atol=1e-12)

@@ -1,0 +1,188 @@
+"""Concatenation, periodic repetition, remap and extend tests
+(mirroring the strategy of the reference's tests/test_sequencing.py)."""
+import numpy as np
+import pytest
+
+import filter_functions_tpu as ff
+from conftest import HAVE_REFERENCE
+from testutil import (assert_allclose, make_pulse, pulse_pair,
+                      rand_pulse_arrays, rand_pulse_sequence, rng, sigma,
+                      to_np)
+
+
+class TestConcatenation:
+    def test_matmul_equals_concatenate(self):
+        a = rand_pulse_sequence(2, 4)
+        b = ff.PulseSequence.from_arrays(
+            a.c_opers, a.c_oper_identifiers, rng.standard_normal((3, 5)),
+            a.n_opers, a.n_oper_identifiers, rng.random((3, 5)),
+            1 - rng.random(5), a.basis)
+        assert (a @ b) == ff.concatenate((a, b))
+
+    def test_slice_reconcatenation(self):
+        pulse = rand_pulse_sequence(2, 6)
+        omega = np.linspace(0.5, 20, 31)
+        full = to_np(pulse.get_filter_function(omega))
+        parts = ff.concatenate([pulse[i] for i in range(len(pulse))])
+        assert_allclose(to_np(parts.get_filter_function(omega)), full,
+                        atol=1e-12)
+
+    def test_cached_vs_scratch(self):
+        """Concatenating pulses with cached control matrices must give
+        the same FF as computing the merged pulse from scratch."""
+        omega = np.linspace(0.1, 10, 27)
+        arrays = [rand_pulse_arrays(2, 3) for _ in range(3)]
+        # same noise Hamiltonian for all segments
+        for arr in arrays[1:]:
+            arr[3][:] = arrays[0][3]
+            arr[4][:] = arrays[0][4]
+        pulses = [make_pulse(a) for a in arrays]
+        for p in pulses:
+            p.cache_filter_function(omega)
+        combined = ff.concatenate(pulses)
+        assert combined.is_cached('filter function')
+        cached_ff = to_np(combined.get_filter_function(omega))
+
+        scratch = ff.concatenate_without_filter_function(pulses)
+        scratch_ff = to_np(scratch.get_filter_function(omega))
+        assert_allclose(cached_ff, scratch_ff, atol=1e-11)
+
+    def test_pulse_correlation_ff_sums_to_total(self):
+        omega = np.linspace(0.1, 10, 21)
+        pulses = []
+        base = rand_pulse_arrays(2, 3)
+        for _ in range(3):
+            arr = rand_pulse_arrays(2, 3)
+            pulses.append(make_pulse((arr[0], arr[1], arr[2], base[3],
+                                      base[4], arr[5], arr[6])))
+        for p in pulses:
+            p.cache_filter_function(omega)
+        combined = ff.concatenate(pulses, calc_pulse_correlation_FF=True)
+        f_pc = to_np(combined.get_pulse_correlation_filter_function())
+        total = to_np(combined.get_filter_function(omega))
+        assert_allclose(f_pc.sum(axis=(0, 1)), total, atol=1e-12)
+        # correlation infidelities sum to total infidelity
+        spectrum = 1 / (1 + omega**2)
+        i_corr = np.asarray(ff.infidelity(combined, spectrum, omega,
+                                          which='correlations'))
+        i_tot = np.asarray(ff.infidelity(combined, spectrum, omega))
+        assert_allclose(i_corr.sum(axis=(0, 1)), i_tot, rtol=1e-10)
+
+    def test_different_n_opers(self):
+        """Pulses with different noise operators: missing ones computed
+        from scratch during concatenation."""
+        omega = np.linspace(0.5, 10, 19)
+        a1 = rand_pulse_arrays(2, 3, n_nops=2)
+        a2 = rand_pulse_arrays(2, 4, n_nops=2)
+        # share one noise oper/identifier; constant sensitivities so the
+        # missing ones can be inferred on the other pulse's segments
+        a2[3][0] = a1[3][0]
+        a2[4][0] = a1[4][0]
+        a1[5][:] = a1[5][:, :1]
+        a2[5][:] = a2[5][:, :1]
+        a2[5][0] = a1[5][0][0]
+        p1, p2 = make_pulse(a1), make_pulse(a2)
+        p1.cache_filter_function(omega)
+        p2.cache_filter_function(omega)
+        combined = ff.concatenate([p1, p2])
+        got = to_np(combined.get_filter_function(omega))
+        scratch = ff.concatenate_without_filter_function([p1, p2])
+        want = to_np(scratch.get_filter_function(omega))
+        assert_allclose(got, want, atol=1e-11)
+
+    @pytest.mark.parametrize('repeats', [1, 2, 7, 20])
+    def test_periodic_vs_standard(self, repeats):
+        omega = np.linspace(0.1, 10, 25)
+        pulse = rand_pulse_sequence(2, 3)
+        pulse.cache_filter_function(omega)
+        per = ff.concatenate_periodic(pulse, repeats)
+        std = ff.concatenate([pulse] * repeats) if repeats > 1 else pulse
+        assert_allclose(to_np(per.get_filter_function(omega)),
+                        to_np(std.get_filter_function(omega)), atol=1e-10)
+
+    @pytest.mark.skipif(not HAVE_REFERENCE, reason='reference unavailable')
+    def test_concatenation_reference_parity(self):
+        import filter_functions as ref
+        omega = np.linspace(0.1, 10, 23)
+        arrays = [rand_pulse_arrays(2, 3) for _ in range(3)]
+        for arr in arrays[1:]:
+            arr[3][:] = arrays[0][3]
+            arr[4][:] = arrays[0][4]
+        ours = [make_pulse(a) for a in arrays]
+        theirs = [make_pulse(a, cls=ref) for a in arrays]
+        for o, t in zip(ours, theirs):
+            o.cache_filter_function(omega)
+            t.cache_filter_function(omega)
+        got = ff.concatenate(ours, calc_pulse_correlation_FF=True)
+        want = ref.concatenate(theirs, calc_pulse_correlation_FF=True)
+        assert_allclose(
+            to_np(got.get_pulse_correlation_filter_function()),
+            want.get_pulse_correlation_filter_function(), atol=1e-12)
+
+
+class TestRemapExtend:
+    def test_remap_roundtrip(self):
+        pulse = rand_pulse_sequence(4, 3, btype='Pauli')
+        omega = np.linspace(0.5, 10, 11)
+        pulse.cache_filter_function(omega)
+        swapped = ff.remap(pulse, (1, 0))
+        back = ff.remap(swapped, (1, 0))
+        assert back == pulse
+        assert swapped.is_cached('filter function')
+        assert_allclose(to_np(back.get_filter_function(omega)),
+                        to_np(pulse.get_filter_function(omega)), atol=1e-12)
+
+    def test_remap_control_matrix_permutation(self):
+        """Remapped cached control matrix equals the control matrix of
+        the remapped pulse computed from scratch."""
+        pulse = rand_pulse_sequence(4, 3, btype='Pauli')
+        omega = np.linspace(0.5, 10, 11)
+        pulse.cache_filter_function(omega)
+        swapped = ff.remap(pulse, (1, 0))
+        cached = to_np(swapped.get_control_matrix(omega))
+        fresh = ff.PulseSequence.from_arrays(
+            swapped.c_opers, swapped.c_oper_identifiers, swapped.c_coeffs,
+            swapped.n_opers, swapped.n_oper_identifiers, swapped.n_coeffs,
+            swapped.dt, swapped.basis)
+        scratch = to_np(fresh.get_control_matrix(omega))
+        assert_allclose(cached, scratch, atol=1e-11)
+
+    def test_extend_single_to_two_qubits(self):
+        """FF of an extended pulse: cached extension == from-scratch."""
+        x = sigma[1]
+        z = sigma[3]
+        pulse = ff.PulseSequence([[x, [np.pi / 2], 'X']],
+                                 [[x, [1.0], 'X'], [z, [1.0], 'Z']],
+                                 [1], basis=ff.Basis.pauli(1))
+        omega = np.linspace(0.5, 10, 15)
+        pulse.cache_filter_function(omega)
+        xx = ff.extend([(pulse, 0), (pulse, 1)])
+        assert xx.d == 4
+        assert xx.is_cached('filter function')
+        cached = to_np(xx.get_filter_function(omega))
+        fresh = ff.PulseSequence.from_arrays(
+            xx.c_opers, xx.c_oper_identifiers, xx.c_coeffs,
+            xx.n_opers, xx.n_oper_identifiers, xx.n_coeffs, xx.dt,
+            xx.basis)
+        scratch = to_np(fresh.get_filter_function(omega))
+        assert_allclose(cached, scratch, atol=1e-10)
+
+    @pytest.mark.skipif(not HAVE_REFERENCE, reason='reference unavailable')
+    def test_extend_reference_parity(self):
+        import filter_functions as ref
+        x, z = sigma[1], sigma[3]
+        omega = np.linspace(0.5, 10, 9)
+
+        def build(mod):
+            p = mod.PulseSequence([[x, [np.pi / 2], 'X']],
+                                  [[x, [1.0], 'X'], [z, [1.0], 'Z']],
+                                  [1], basis=mod.Basis.pauli(1))
+            p.cache_filter_function(omega)
+            return mod.extend([(p, 0), (p, 2)], N=3)
+
+        got = build(ff)
+        want = build(ref)
+        assert_allclose(to_np(got.get_filter_function(omega)),
+                        want.get_filter_function(omega), atol=1e-10)
+        assert list(got.n_oper_identifiers) == list(
+            want.n_oper_identifiers)
