@@ -111,7 +111,22 @@ class TestIntegralsAgainstQuadrature:
         for o, w in enumerate(self.omega):
             phase = np.exp(1j * (w + dE[None]) * self.tgrid[:, None, None])
             want = np.trapezoid(phase, self.tgrid, axis=0)
-            assert_allclose(got[o], want, atol=1e-7)
+            # trapezoid discretization error scales with (phi*dt/N)^2
+            tol = max(1e-7, 1e-1 * (np.abs(w + dE).max() * self.dt
+                                    / len(self.tgrid))**2)
+            assert_allclose(got[o], want, atol=tol)
+
+    @pytest.mark.skipif(not HAVE_REFERENCE, reason='reference unavailable')
+    def test_first_order_reference_parity(self):
+        import filter_functions.numeric as ref_numeric
+        got = to_np(numeric._first_order_integral_batched(
+            cplx.jnp.asarray(self.omega), cplx.jnp.asarray(self.eigvals),
+            cplx.jnp.asarray(self.dt)))
+        exp_buf = np.empty((len(self.omega), self.d, self.d), complex)
+        int_buf = np.empty_like(exp_buf)
+        want = ref_numeric._first_order_integral(
+            self.omega, self.eigvals, self.dt, exp_buf, int_buf)
+        assert_allclose(got, want, atol=1e-14)
 
     def test_second_order(self):
         got = to_np(numeric._second_order_integral_single(
