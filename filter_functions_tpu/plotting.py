@@ -1,0 +1,268 @@
+"""Visualization helpers (parity with
+/root/reference/filter_functions/plotting.py).
+
+All plotting is host-side matplotlib; device values (split-complex
+:class:`~.cplx.C`, jnp arrays) are materialized at the boundary.
+The Bloch-sphere trajectory plot requires qutip and degrades with an
+informative error when it is absent (plotting.py:64-69 semantics).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+from warnings import warn
+
+import numpy as np
+
+from . import numeric, util
+from .cplx import C
+
+try:
+    import matplotlib
+    import matplotlib.pyplot as plt
+    from matplotlib import colors, lines
+except ImportError as err:
+    raise ImportError('matplotlib is required for the plotting module: '
+                      f'{err}') from err
+
+try:
+    import qutip as qt
+    _HAS_QUTIP = True
+except ImportError:
+    qt = None
+    _HAS_QUTIP = False
+
+__all__ = ['plot_filter_function', 'plot_pulse_train',
+           'plot_pulse_correlation_filter_function',
+           'plot_cumulant_function', 'plot_infidelity_convergence',
+           'plot_bloch_vector_evolution']
+
+
+def _np(x):
+    """Materialize device values for matplotlib."""
+    if isinstance(x, C):
+        return x.to_numpy()
+    return np.asarray(x)
+
+
+def _import_or_axes(fig=None, axes=None, figsize=None):
+    if axes is not None:
+        return axes.get_figure(), axes
+    if fig is not None:
+        return fig, fig.add_subplot(111)
+    return plt.subplots(figsize=figsize)
+
+
+def plot_pulse_train(pulse, c_oper_identifiers: Optional[Sequence] = None,
+                     fig=None, axes=None, cycler=None, plot_kw=None,
+                     subplot_kw=None, gridspec_kw=None, **figure_kw):
+    """Plot the control coefficients as a piecewise-constant train
+    (plotting.py equivalent of plot_pulse_train)."""
+    c_idx = util.get_indices_from_identifiers(pulse.c_oper_identifiers,
+                                              c_oper_identifiers)
+    fig, axes = _import_or_axes(fig, axes)
+    if cycler is not None:
+        axes.set_prop_cycle(cycler)
+    t = np.asarray(pulse.t)
+    handles = []
+    for i in c_idx:
+        coeffs = np.asarray(pulse.c_coeffs[i])
+        handles += axes.step(t, np.concatenate([coeffs[:1], coeffs]),
+                             label=f'${pulse.c_oper_identifiers[i]}$',
+                             **(plot_kw or {}))
+    axes.set_xlim(t[0], t[-1])
+    axes.set_xlabel('$t$ / a.u.')
+    axes.set_ylabel('Control parameter / a.u.')
+    legend = axes.legend(framealpha=1)
+    return fig, axes, legend
+
+
+def plot_filter_function(pulse, omega: Optional[np.ndarray] = None,
+                         n_oper_identifiers: Optional[Sequence] = None,
+                         fig=None, axes=None, xscale: str = 'log',
+                         yscale: str = 'linear', omega_in_units_of_tau:
+                         bool = True, cycler=None, plot_kw=None,
+                         subplot_kw=None, gridspec_kw=None, **figure_kw):
+    """Plot the fidelity filter function(s) of *pulse*
+    (plotting.py equivalent of plot_filter_function)."""
+    if omega is None:
+        if pulse.is_cached('omega'):
+            omega = pulse.omega
+        else:
+            omega = util.get_sample_frequencies(pulse, spacing=xscale)
+    n_idx = util.get_indices_from_identifiers(pulse.n_oper_identifiers,
+                                              n_oper_identifiers)
+    ff_ = _np(pulse.get_filter_function(omega)).real
+
+    fig, axes = _import_or_axes(fig, axes)
+    if cycler is not None:
+        axes.set_prop_cycle(cycler)
+    if omega_in_units_of_tau:
+        x = np.asarray(omega) * pulse.tau
+        xlabel = r'$\omega\tau$'
+    else:
+        x = np.asarray(omega)
+        xlabel = r'$\omega$'
+    handles = []
+    for i in n_idx:
+        handles += axes.plot(x, ff_[i, i],
+                             label=f'${pulse.n_oper_identifiers[i]}$',
+                             **(plot_kw or {}))
+    axes.set_xscale(xscale)
+    if yscale == 'log':
+        axes.set_yscale('log')
+    axes.set_xlim(x[x > 0].min() if xscale == 'log' else x.min(), x.max())
+    axes.set_xlabel(xlabel)
+    axes.set_ylabel(r'$F(\omega)$')
+    legend = axes.legend(framealpha=1)
+    return fig, axes, legend
+
+
+def plot_pulse_correlation_filter_function(
+        pulse, n_oper_identifiers: Optional[Sequence] = None, fig=None,
+        xscale: str = 'log', yscale: str = 'linear',
+        omega_in_units_of_tau: bool = True, cycler=None, plot_kw=None,
+        subplot_kw=None, gridspec_kw=None, **figure_kw):
+    """Plot the pulse correlation filter functions F^(gg') as a G x G
+    grid of axes (plotting.py equivalent)."""
+    f_pc = _np(pulse.get_pulse_correlation_filter_function()).real
+    omega = np.asarray(pulse.omega)
+    n_idx = util.get_indices_from_identifiers(pulse.n_oper_identifiers,
+                                              n_oper_identifiers)
+    n_pls = f_pc.shape[0]
+    if fig is None:
+        fig, axes = plt.subplots(n_pls, n_pls, sharex=True, sharey=True,
+                                 subplot_kw=subplot_kw,
+                                 gridspec_kw=gridspec_kw, **figure_kw)
+    else:
+        axes = np.array(fig.axes).reshape(n_pls, n_pls)
+    axes = np.atleast_2d(axes)
+    x = omega * pulse.tau if omega_in_units_of_tau else omega
+    xlabel = r'$\omega\tau$' if omega_in_units_of_tau else r'$\omega$'
+    for g in range(n_pls):
+        for h in range(n_pls):
+            ax = axes[g, h]
+            if cycler is not None:
+                ax.set_prop_cycle(cycler)
+            for i in n_idx:
+                ax.plot(x, f_pc[g, h, i, i],
+                        label=f'${pulse.n_oper_identifiers[i]}$',
+                        **(plot_kw or {}))
+            ax.set_xscale(xscale)
+            if yscale == 'log':
+                ax.set_yscale('log')
+            ax.set_title(f'$F^{{({g}{h})}}$')
+            if g == n_pls - 1:
+                ax.set_xlabel(xlabel)
+    legend = axes[0, 0].legend(framealpha=1)
+    return fig, axes, legend
+
+
+def plot_infidelity_convergence(n_samples, infids, axes=None):
+    """Plot the convergence test output of :func:`~.numeric.infidelity`
+    (plotting.py equivalent)."""
+    if axes is None:
+        fig, axes = plt.subplots(2, 1, sharex=True)
+    else:
+        fig = axes[0].get_figure()
+    n_samples = np.asarray(n_samples)
+    infids = np.atleast_2d(np.asarray(infids))
+    axes[0].plot(n_samples, infids, 'o-')
+    axes[0].set_ylabel(r'$\mathcal{I}$')
+    rel_diff = np.abs(1 - infids[1:] / infids[:-1]).sum(axis=1)
+    axes[1].plot(n_samples[1:], rel_diff, 'o-')
+    axes[1].set_xlabel(r'$n_\omega$')
+    axes[1].set_ylabel(r'$|1 - \mathcal{I}_n / \mathcal{I}_{n-1}|$')
+    return fig, axes
+
+
+def plot_cumulant_function(
+        pulse=None, spectrum=None, omega=None, cumulant_function=None,
+        n_oper_identifiers: Optional[Sequence] = None,
+        second_order: bool = False, colorscale: str = 'linear',
+        linthresh: Optional[float] = None, basis_labels=None,
+        basis_labelsize=None, fig=None, grid=None, cbar_label:
+        str = 'Cumulant Function', cbar_labelsize=None, subplot_kw=None,
+        gridspec_kw=None, **figure_kw):
+    """Image-plot the cumulant function matrices K_{a,ij}
+    (plotting.py equivalent of plot_cumulant_function)."""
+    if cumulant_function is None:
+        if pulse is None or spectrum is None or omega is None:
+            raise ValueError('Require either precomputed cumulant function '
+                             'or pulse, spectrum, and omega as arguments.')
+        cumulant_function = numeric.calculate_cumulant_function(
+            pulse, spectrum, omega, n_oper_identifiers,
+            second_order=second_order)
+        labels = list(pulse.n_oper_identifiers
+                      if n_oper_identifiers is None else n_oper_identifiers)
+        if basis_labels is None:
+            basis_labels = pulse.basis.labels
+    else:
+        labels = [str(i) for i in range(np.asarray(
+            cumulant_function).shape[0])]
+
+    k = np.asarray(cumulant_function)
+    if k.ndim == 2:
+        k = k[None]
+    n_panels = k.shape[0]
+    if grid is None:
+        fig, grid = plt.subplots(1, n_panels, squeeze=False,
+                                 subplot_kw=subplot_kw,
+                                 gridspec_kw=gridspec_kw, **figure_kw)
+        grid = grid[0]
+    else:
+        fig = grid[0].get_figure()
+
+    kmax = np.abs(k).max()
+    if colorscale == 'log':
+        norm = colors.SymLogNorm(
+            linthresh=linthresh or kmax * 1e-6, vmin=-kmax, vmax=kmax)
+    else:
+        norm = colors.Normalize(vmin=-kmax, vmax=kmax)
+
+    for panel, (ax, ki) in enumerate(zip(grid, k)):
+        im = ax.imshow(ki, norm=norm, cmap='RdBu')
+        ax.set_title(f'$K({labels[panel]})$'
+                     if panel < len(labels) else '')
+        if basis_labels is not None:
+            ax.set_xticks(range(len(basis_labels)))
+            ax.set_yticks(range(len(basis_labels)))
+            ax.set_xticklabels(basis_labels, rotation=90,
+                               fontsize=basis_labelsize)
+            ax.set_yticklabels(basis_labels, fontsize=basis_labelsize)
+    cbar = fig.colorbar(im, ax=list(grid), label=cbar_label)
+    if cbar_labelsize is not None:
+        cbar.set_label(cbar_label, size=cbar_labelsize)
+    return fig, grid
+
+
+def plot_bloch_vector_evolution(pulse, psi0=None, b=None, n_samples=None,
+                                cmap=None, add_cbar: bool = False,
+                                show: bool = True, return_Bloch:
+                                bool = False, **bloch_kw):
+    """Plot the Bloch-vector trajectory of a qubit state under *pulse*
+    (plotting.py equivalent; requires qutip)."""
+    if not _HAS_QUTIP:
+        raise RuntimeError('Requires qutip.')
+    if pulse.d != 2:
+        raise ValueError('Plotting Bloch vector evolution only implemented '
+                         'for single-qubit pulses!')
+    if psi0 is None:
+        psi0 = np.array([[1.], [0.]])
+    psi0 = np.asarray(psi0.full() if hasattr(psi0, 'full') else psi0,
+                      dtype=complex).reshape(2, 1)
+    if n_samples is None:
+        n_samples = min(5000, max(1000, int(50 * len(pulse.dt))))
+    t = np.linspace(0, float(pulse.tau), n_samples)
+    propagators = _np(pulse.propagator_at_arb_t(t))
+    states = propagators @ psi0
+    # Bloch vector components
+    a, c = states[:, 0, 0], states[:, 1, 0]
+    vectors = np.stack([2 * (a.conj() * c).real,
+                        2 * (a.conj() * c).imag,
+                        (np.abs(a)**2 - np.abs(c)**2)])
+    bloch = b or qt.Bloch(**bloch_kw)
+    bloch.add_points(vectors, meth='l')
+    if show:
+        bloch.make_sphere()
+    if return_Bloch:
+        return bloch

@@ -1,0 +1,103 @@
+"""Sharding tests on the 8-virtual-device CPU mesh (conftest sets
+jax_num_cpu_devices=8)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import filter_functions_tpu as ff
+from filter_functions_tpu import functional, parallel
+from testutil import assert_allclose, rand_pulse_sequence, to_np
+
+
+@pytest.fixture(scope='module')
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 devices')
+    return parallel.make_mesh(8)
+
+
+@pytest.fixture(scope='module')
+def mesh2x4():
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 devices')
+    return parallel.make_mesh(8, batch=2)
+
+
+def test_functional_matches_object_api():
+    pulse = rand_pulse_sequence(2, 4)
+    omega = jnp.linspace(0.5, 10, 16)
+    p = functional.make_pulse_arrays(pulse)
+    got = to_np(functional.fidelity_filter_function(p, omega))
+    want = to_np(pulse.get_filter_function(np.asarray(omega)))
+    assert_allclose(got, want, atol=1e-12)
+    spectrum = 1e-2 / np.asarray(omega)
+    got_i = np.asarray(functional.infidelity(p, jnp.asarray(spectrum),
+                                             omega))
+    want_i = np.asarray(ff.infidelity(pulse, spectrum, np.asarray(omega)))
+    assert_allclose(got_i, want_i, rtol=1e-12)
+
+
+def test_sharded_ff_matches_single_device(mesh8):
+    pulse = rand_pulse_sequence(2, 5)
+    omega = jnp.linspace(0.5, 10, 64)   # divisible by 8
+    p = functional.make_pulse_arrays(pulse)
+    local = to_np(functional.fidelity_filter_function(p, omega))
+    sharded = parallel.sharded_filter_function(p, omega, mesh8)
+    assert_allclose(to_np(sharded), local, atol=1e-13)
+    # result really is distributed over the omega axis
+    assert len(sharded.re.sharding.device_set) == 8
+
+
+def test_sharded_infidelity(mesh8):
+    pulse = rand_pulse_sequence(2, 4)
+    omega = jnp.linspace(0.5, 10, 64)
+    spectrum = 1e-2 / omega
+    p = functional.make_pulse_arrays(pulse)
+    got = np.asarray(parallel.sharded_infidelity(p, spectrum, omega,
+                                                 mesh8))
+    want = np.asarray(ff.infidelity(pulse, np.asarray(spectrum),
+                                    np.asarray(omega)))
+    assert_allclose(got, want, rtol=1e-12)
+
+
+def test_batched_infidelity():
+    pulse = rand_pulse_sequence(2, 4)
+    omega = jnp.linspace(0.5, 10, 16)
+    spectrum = 1e-2 / omega
+    p = functional.make_pulse_arrays(pulse)
+    batch = 4
+    batched = functional.PulseArrays(
+        p.c_opers, jnp.stack([p.c_coeffs * (1 + 0.1 * i)
+                              for i in range(batch)]),
+        p.n_opers, jnp.broadcast_to(p.n_coeffs,
+                                    (batch,) + p.n_coeffs.shape),
+        jnp.broadcast_to(p.dt, (batch,) + p.dt.shape), p.basis)
+    infids = np.asarray(functional.batched_infidelity(batched, spectrum,
+                                                      omega))
+    assert infids.shape == (batch, 3)
+    # row 0 equals the unbatched result
+    single = np.asarray(functional.infidelity(p, spectrum, omega))
+    assert_allclose(infids[0], single, rtol=1e-12)
+
+
+def test_grape_step_reduces_loss(mesh2x4):
+    """One sharded gradient step must reduce the summed infidelity."""
+    pulse = rand_pulse_sequence(2, 4)
+    omega = jnp.linspace(0.5, 10, 32)
+    spectrum = 1e-1 / omega
+    p0 = functional.make_pulse_arrays(pulse)
+    batch = 2
+    p = functional.PulseArrays(
+        p0.c_opers,
+        jnp.stack([p0.c_coeffs * (1 + 0.2 * i) for i in range(batch)]),
+        p0.n_opers,
+        jnp.broadcast_to(p0.n_coeffs, (batch,) + p0.n_coeffs.shape),
+        jnp.broadcast_to(p0.dt, (batch,) + p0.dt.shape), p0.basis)
+    cc = p.c_coeffs
+    cc1, loss0 = parallel.grape_step(cc, p, spectrum, omega, mesh2x4,
+                                     learning_rate=1e-3)
+    _, loss1 = parallel.grape_step(cc1, p, spectrum, omega, mesh2x4,
+                                   learning_rate=1e-3)
+    assert np.isfinite(float(loss0)) and np.isfinite(float(loss1))
+    assert float(loss1) < float(loss0)
