@@ -1,0 +1,155 @@
+"""Benchmark: batched 4-qubit QFT filter function + infidelity.
+
+North star (BASELINE.json): control-matrix + filter-function build for
+the 4-qubit QFT (d = 16) at 1000 frequencies, batched, vs the reference
+NumPy implementation, with infidelity parity <= 1e-10.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+vs_baseline is the speedup of this framework (per pulse, batched
+evaluation on one chip) over the reference NumPy package evaluated on
+the host CPU (timed live when importable, else a recorded constant).
+
+Run on the TPU: ``python bench.py``; use --cpu to force the CPU
+backend, --quick for a smaller configuration.
+"""
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).parent
+N_OMEGA = 1000
+BATCH = 4
+N_QUBITS = 4
+# Fallback: reference per-pulse seconds measured on this host (updated
+# by --record-baseline).
+RECORDED_REF_SECONDS = None
+
+
+def build_inputs():
+    import jax.numpy as jnp
+    from filter_functions_tpu import functional
+    from filter_functions_tpu.models import qft
+
+    pulse = qft.qft_pulse(N_QUBITS)
+    p = functional.make_pulse_arrays(pulse)
+    omega = np.geomspace(1e-2, 1e2, N_OMEGA)
+    spectrum = 1e-4 / omega
+    rng = np.random.default_rng(0)
+    # batch of perturbed pulses (realistic optimal-control population)
+    scales = 1 + 0.05 * rng.standard_normal((BATCH, 1, 1))
+    batched = functional.PulseArrays(
+        p.c_opers,
+        jnp.asarray(np.asarray(p.c_coeffs)[None] * scales),
+        p.n_opers,
+        jnp.broadcast_to(p.n_coeffs, (BATCH,) + p.n_coeffs.shape),
+        jnp.broadcast_to(p.dt, (BATCH,) + p.dt.shape),
+        p.basis,
+    )
+    return pulse, p, batched, omega, spectrum
+
+
+def time_ours(batched, omega, spectrum, iters=5):
+    import jax
+    import jax.numpy as jnp
+    from filter_functions_tpu import functional
+
+    fn = jax.jit(functional.batched_infidelity)
+    omega_j = jnp.asarray(omega)
+    spectrum_j = jnp.asarray(spectrum)
+    out = jax.block_until_ready(fn(batched, spectrum_j, omega_j))  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(batched, spectrum_j, omega_j)
+    out = jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t0
+    return elapsed / (iters * BATCH), np.asarray(out)
+
+
+def time_reference(pulse_arrays_host, omega, spectrum, n_pulses=2):
+    """Time the reference NumPy package on the same pulses (host CPU).
+    Returns (seconds_per_pulse, infidelities of the unperturbed pulse)."""
+    sys.path.insert(0, str(REPO / 'tests'))
+    import _sparse_stub
+    sys.modules.setdefault('sparse', _sparse_stub)
+    sys.path.insert(0, '/root/reference')
+    import filter_functions as ref
+
+    c_opers, c_ids, c_coeffs, n_opers, n_ids, n_coeffs, dt = \
+        pulse_arrays_host
+
+    def build_and_eval(scale):
+        p = ref.PulseSequence.from_arrays(
+            c_opers, c_ids, c_coeffs * scale, n_opers, n_ids, n_coeffs,
+            dt, ref.Basis(np.asarray(_basis_np), btype='GGM'))
+        return ref.infidelity(p, spectrum, omega)
+
+    global _basis_np
+    infid0 = build_and_eval(1.0)  # warm caches/imports
+    t0 = time.perf_counter()
+    for i in range(n_pulses):
+        build_and_eval(1.0 + 1e-3 * i)
+    elapsed = time.perf_counter() - t0
+    return elapsed / n_pulses, np.asarray(infid0)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--cpu', action='store_true')
+    parser.add_argument('--quick', action='store_true')
+    parser.add_argument('--iters', type=int, default=5)
+    args = parser.parse_args()
+
+    global N_OMEGA, BATCH
+    if args.quick:
+        N_OMEGA, BATCH = 200, 2
+
+    import jax
+    if args.cpu:
+        jax.config.update('jax_platforms', 'cpu')
+
+    pulse, p, batched, omega, spectrum = build_inputs()
+    seconds_per_pulse, infids = time_ours(batched, omega, spectrum,
+                                          args.iters)
+
+    # Host-side arrays for the reference build
+    global _basis_np
+    _basis_np = pulse.basis.np
+    host_arrays = (pulse.c_opers, pulse.c_oper_identifiers,
+                   pulse.c_coeffs, pulse.n_opers,
+                   pulse.n_oper_identifiers, pulse.n_coeffs, pulse.dt)
+    try:
+        ref_seconds, ref_infid = time_reference(host_arrays, omega,
+                                                spectrum)
+        # parity on the unperturbed pulse (batch entry uses scaled
+        # coefficients, so recompute unscaled for comparison)
+        from filter_functions_tpu import functional
+        import jax.numpy as jnp
+        ours_infid = np.asarray(jax.jit(functional.infidelity)(
+            p, jnp.asarray(spectrum), jnp.asarray(omega)))
+        parity = float(np.abs(ours_infid - ref_infid).max())
+    except Exception as err:  # reference unavailable
+        print(f'# reference timing unavailable: {err}', file=sys.stderr)
+        ref_seconds = RECORDED_REF_SECONDS
+        parity = float('nan')
+
+    vs_baseline = (ref_seconds / seconds_per_pulse
+                   if ref_seconds else float('nan'))
+    result = {
+        'metric': ('batched 4-qubit QFT filter function + infidelity '
+                   f'({N_OMEGA} frequencies, batch {BATCH}); '
+                   f'infidelity parity vs reference {parity:.2e}'),
+        'value': seconds_per_pulse * 1e3,
+        'unit': 'ms/pulse',
+        'vs_baseline': vs_baseline,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    main()
