@@ -32,12 +32,17 @@ RECORDED_REF_SECONDS = None
 
 
 def build_inputs():
+    import jax
     import jax.numpy as jnp
-    from filter_functions_tpu import functional
+    from filter_functions_tpu import config, functional
     from filter_functions_tpu.models import qft
 
-    pulse = qft.qft_pulse(N_QUBITS)
-    p = functional.make_pulse_arrays(pulse)
+    # Pulse construction is tiny host-side math; on the remote-compiled
+    # TPU backend it would cost minutes of compile round trips.
+    with config.on_host():
+        pulse = qft.qft_pulse(N_QUBITS)
+        p = functional.make_pulse_arrays(pulse)
+    p = jax.device_put(p, jax.devices()[0])
     omega = np.geomspace(1e-2, 1e2, N_OMEGA)
     spectrum = 1e-4 / omega
     rng = np.random.default_rng(0)
@@ -112,6 +117,9 @@ def main():
     import jax
     if args.cpu:
         jax.config.update('jax_platforms', 'cpu')
+    else:
+        from filter_functions_tpu import config
+        config.enable_host_cpu()
 
     pulse, p, batched, omega, spectrum = build_inputs()
     seconds_per_pulse, infids = time_ours(batched, omega, spectrum,

@@ -54,6 +54,74 @@ def backend() -> str:
     return jax.default_backend()
 
 
+def enable_host_cpu() -> bool:
+    """Make the CPU platform available alongside the accelerator.
+
+    Host-side orchestration math (pulse construction, concatenation
+    byproducts) is latency-bound, not FLOP-bound; on a remote-compiled
+    TPU backend every tiny distinct-shape op costs seconds of compile
+    round trip.  Call this before first backend use; returns True if a
+    CPU device is available afterwards.
+    """
+    try:
+        jax.local_devices(backend='cpu')
+        return True
+    except RuntimeError:
+        pass
+    try:
+        current = jax.config.jax_platforms
+        if current and 'cpu' not in current:
+            jax.config.update('jax_platforms', current + ',cpu')
+        return True
+    except Exception:
+        return False
+
+
+def host_device():
+    """The CPU device for host-side math, or None."""
+    try:
+        return jax.local_devices(backend='cpu')[0]
+    except RuntimeError:
+        return None
+
+
+class on_host:
+    """Context manager running enclosed jax ops on the host CPU device
+    (no-op if no CPU backend is registered)."""
+
+    def __enter__(self):
+        dev = host_device()
+        self._ctx = jax.default_device(dev) if dev is not None else None
+        if self._ctx is not None:
+            self._ctx.__enter__()
+        return self
+
+    def __exit__(self, *exc):
+        if self._ctx is not None:
+            return self._ctx.__exit__(*exc)
+        return False
+
+
+def contraction_mode() -> str:
+    """How the hot control-matrix contraction is executed.
+
+    'native' -- one fused XLA einsum in the working precision.
+    'ozaki'  -- restructured as batched matmuls running on the MXU via
+                the Ozaki bf16-slice scheme (f64-class accuracy at
+                matrix-unit speed; see ops/ozaki.py).
+
+    Default: 'ozaki' on TPU backends under x64 (where XLA's f64 matmul
+    is scalar-emulated), 'native' elsewhere.  Override with the
+    FF_TPU_CONTRACT environment variable.
+    """
+    mode = os.environ.get('FF_TPU_CONTRACT')
+    if mode:
+        return mode
+    if jax.config.jax_enable_x64 and backend() != 'cpu':
+        return 'ozaki'
+    return 'native'
+
+
 def supports_native_complex() -> bool:
     """True if the default backend supports the native complex dtype.
 

@@ -1,0 +1,103 @@
+r"""Near-f64 matrix multiplication on the MXU via Ozaki splitting.
+
+TPU v5e has no native float64 ALU; XLA emulates f64 matmuls in scalar
+software at ~0.3-0.5 TFLOP/s, while the MXU delivers orders of
+magnitude more on bf16 inputs with f32 accumulation.  The Ozaki scheme
+(Ozaki et al., Numer. Algorithms 59, 2012; the basis of "DGEMM on
+tensor cores" work on GPUs) recovers high precision from low-precision
+matmuls using an error-free fixed-point decomposition:
+
+1. scale each row of A (column of B) by a power of two so its largest
+   element sits just below ``2**slice_bits``;
+2. peel "digit" slices of ``slice_bits`` mantissa bits; every slice is
+   an integer of at most ``slice_bits`` bits -- exactly representable
+   in bfloat16 (for slice_bits <= 8);
+3. a slice product carries ``2*slice_bits`` bits and a K-deep
+   accumulation adds ``log2 K`` more; with
+   ``2*slice_bits + ceil(log2 K) <= 24`` every pairwise slice matmul
+   ``A_i @ B_j`` is **exact** in the MXU's f32 accumulator;
+4. recombine ``sum_{i+j <= L} 2^{-slice_bits (i+j)} (A_i @ B_j)`` in
+   f64 with the row/column scales.
+
+The slice width therefore adapts to the reduction depth:
+``slice_bits = (24 - ceil(log2 K)) // 2`` (8 bits up to K = 256, 6
+bits up to K = 4096, ...).  ``precision_bits`` selects the truncation
+level L: the neglected pairs contribute < 2^-precision_bits relative
+to the row*column magnitude.  42 bits (~2e-13) is the default -- far
+inside the 1e-10 infidelity-parity budget even with orders of
+magnitude of cancellation amplification.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ['ozaki_matmul', 'DEFAULT_PRECISION_BITS']
+
+DEFAULT_PRECISION_BITS = 42
+#: f32 accumulator mantissa budget.
+_ACC_BITS = 24
+#: bf16 holds integers up to 2^8 exactly.
+_MAX_SLICE_BITS = 8
+
+
+def _slice_fixed_point(x: jnp.ndarray, axis: int, n_slices: int,
+                       slice_bits: int):
+    """Split x into n_slices bf16 integer 'digit' slices with a
+    per-vector power-of-two scale (error-free)."""
+    radix = float(2**slice_bits)
+    absmax = jnp.max(jnp.abs(x), axis=axis, keepdims=True)
+    exp = jnp.ceil(jnp.log2(jnp.where(absmax > 0, absmax, 1.0)))
+    scale = jnp.exp2(exp - slice_bits)
+    y = x / scale
+    slices = []
+    for _ in range(n_slices):
+        s = jnp.round(y)
+        slices.append(s.astype(jnp.bfloat16))
+        y = (y - s) * radix
+    return slices, scale
+
+
+@functools.partial(jax.jit, static_argnames=('precision_bits',))
+def ozaki_matmul(a: jnp.ndarray, b: jnp.ndarray,
+                 precision_bits: int = DEFAULT_PRECISION_BITS
+                 ) -> jnp.ndarray:
+    """High-precision ``a @ b`` on the MXU via Ozaki splitting.
+
+    a: (..., M, K) float64, b: (..., K, N) float64; leading batch axes
+    must match.  Relative truncation ~2^-precision_bits of the
+    row-times-column magnitude.
+    """
+    K = a.shape[-1]
+    slice_bits = min(_MAX_SLICE_BITS,
+                     (_ACC_BITS - math.ceil(math.log2(max(K, 2)))) // 2)
+    if slice_bits < 4:
+        raise ValueError(f'Reduction depth K={K} too deep for exact f32 '
+                         'accumulation; split the contraction.')
+    max_level = max(1, -(-precision_bits // slice_bits) - 1)
+    n_slices = max_level + 1
+
+    a_sl, a_scale = _slice_fixed_point(a, -1, n_slices, slice_bits)
+    b_sl, b_scale = _slice_fixed_point(b, -2, n_slices, slice_bits)
+
+    batch = tuple(range(a.ndim - 2))
+    dims = (((a.ndim - 1,), (a.ndim - 2,)), (batch, batch))
+
+    out = None
+    for s in range(n_slices):
+        # sum_{i+j=s} A_i @ B_j: each product is exact in f32; the
+        # cross-pair sum may overflow the 24-bit budget, so widen first.
+        level = None
+        for i in range(s + 1):
+            prod = jax.lax.dot_general(
+                a_sl[i], b_sl[s - i], dimension_numbers=dims,
+                preferred_element_type=jnp.float32).astype(jnp.float64)
+            level = prod if level is None else level + prod
+        term = level * (2.0**(-slice_bits * s))
+        out = term if out is None else out + term
+    return out * a_scale * b_scale
