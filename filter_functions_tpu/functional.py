@@ -65,9 +65,13 @@ def fidelity_filter_function(p: PulseArrays, omega: jnp.ndarray) -> C:
 def infidelity(p: PulseArrays, spectrum: jnp.ndarray,
                omega: jnp.ndarray) -> jnp.ndarray:
     """Leading-order infidelity per noise operator (n_nops,) for a
-    per-operator (or broadcastable) spectrum; traceless-basis path."""
-    ff = fidelity_filter_function(p, omega)
-    diag = ff.re.diagonal(axis1=0, axis2=1).swapaxes(-1, -2)  # (nops, n_w)
+    per-operator (or broadcastable) spectrum; traceless-basis path.
+
+    Computes only the diagonal F_aa = sum_k |B_ak|^2 (n_nops x n_omega
+    elementwise) instead of the full n_nops^2 cross filter function.
+    """
+    ctrl = control_matrix(p, omega)
+    diag = (ctrl.re * ctrl.re + ctrl.im * ctrl.im).sum(axis=1)
     integrand = diag * spectrum
     d = p.c_opers.shape[-1]
     return util.integrate(integrand, omega) / (2 * np.pi * d)

@@ -37,9 +37,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+
 __all__ = ['ozaki_matmul', 'DEFAULT_PRECISION_BITS']
 
-DEFAULT_PRECISION_BITS = 42
+#: Truncation level; override with FF_TPU_OZAKI_BITS.
+DEFAULT_PRECISION_BITS = int(os.environ.get('FF_TPU_OZAKI_BITS', '42'))
 #: f32 accumulator mantissa budget.
 _ACC_BITS = 24
 #: bf16 holds integers up to 2^8 exactly.
