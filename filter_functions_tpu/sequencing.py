@@ -17,6 +17,7 @@ from typing import Any, Dict, Iterable, List, Mapping, Optional, Sequence, \
     Tuple, Union
 from warnings import warn
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -228,7 +229,8 @@ def concatenate(pulses: Iterable[PulseSequence],
         newpulse.cache_filter_function(omega, which=which)
         return newpulse
 
-    # cumulative phase factors e^{i w t_{g-1}} of pulse boundaries
+    # cumulative phase factors e^{i w t_{g-1}} of pulse boundaries:
+    # log-depth cumulative product on device (no per-pulse dispatch)
     phase_list = [p.get_total_phases(omega) for p in pulses[:-1]]
     phases = _cumprod_c(phase_list)                     # (G-1, n_omega) C
 
@@ -245,13 +247,20 @@ def concatenate(pulses: Iterable[PulseSequence],
     n_w = len(np.asarray(omega))
     n_basis = len(newpulse.basis)
     seg_bounds = [0] + list(accumulate(len(p.dt) for p in pulses))
-    atomic_re = np.zeros((len(pulses), n_nops_new, n_basis, n_w))
-    atomic_im = np.zeros_like(atomic_re)
-    for i, (pulse, present) in enumerate(zip(pulses, n_opers_present)):
-        ctrl = pulse.get_control_matrix(omega, show_progressbar)
-        atomic_re[i, present] = np.asarray(ctrl.re)
-        atomic_im[i, present] = np.asarray(ctrl.im)
-        if not present.all():
+    all_present = n_opers_present.all()
+    if all_present:
+        # common fast path: stack cached device arrays directly
+        ctrls = [pulse.get_control_matrix(omega, show_progressbar)
+                 for pulse in pulses]
+        control_matrix_atomic = _stack_c(ctrls)
+    else:
+        atomic_re = np.zeros((len(pulses), n_nops_new, n_basis, n_w))
+        atomic_im = np.zeros_like(atomic_re)
+        for i, (pulse, present) in enumerate(zip(pulses,
+                                                 n_opers_present)):
+            ctrl = pulse.get_control_matrix(omega, show_progressbar)
+            atomic_re[i, present] = np.asarray(ctrl.re)
+            atomic_im[i, present] = np.asarray(ctrl.im)
             missing = ~present
             extra = numeric.calculate_control_matrix_from_scratch(
                 pulse.eigvals, pulse.eigvecs, pulse.propagators,
@@ -263,7 +272,8 @@ def concatenate(pulses: Iterable[PulseSequence],
                 show_progressbar=show_progressbar)
             atomic_re[i, missing] = np.asarray(extra.re)
             atomic_im[i, missing] = np.asarray(extra.im)
-    control_matrix_atomic = C(jnp.asarray(atomic_re), jnp.asarray(atomic_im))
+        control_matrix_atomic = C(jnp.asarray(atomic_re),
+                                  jnp.asarray(atomic_im))
 
     if not newpulse.is_cached('total_propagator'):
         newpulse.total_propagator = util.mdot(
@@ -303,18 +313,39 @@ def concatenate(pulses: Iterable[PulseSequence],
 
 
 def _stack_c(items: Sequence) -> C:
-    """Stack a list of C (or array) matrices along a new leading axis."""
+    """Stack a list of C (or array) matrices along a new leading axis.
+
+    When all entries are the same object (e.g. ``concatenate([p] * G)``)
+    this broadcasts instead of building a G-ary concatenate graph."""
+    if len(items) > 1 and all(i is items[0] for i in items):
+        first = asc(items[0])
+        shape = (len(items),) + first.shape
+        return C(jnp.broadcast_to(first.re, shape),
+                 jnp.broadcast_to(first.im, shape))
     items = [asc(i) for i in items]
     return C(jnp.stack([i.re for i in items]),
              jnp.stack([i.im for i in items]))
 
 
 def _cumprod_c(items: Sequence[C]) -> C:
-    """Elementwise cumulative product of a short list of C arrays."""
-    out = [asc(items[0])]
-    for item in items[1:]:
-        out.append(out[-1] * asc(item))
-    return _stack_c(out)
+    """Elementwise cumulative product along a stacked leading axis,
+    evaluated as a log-depth associative scan on device."""
+    stacked = _stack_c(items)
+    if len(items) == 1:
+        return stacked
+    return _cumprod_scan(stacked.re, stacked.im)
+
+
+@jax.jit
+def _cumprod_scan(re, im):
+    import jax.lax as lax
+
+    def combine(a, b):
+        (ar, ai), (br, bi) = a, b
+        return ar * br - ai * bi, ar * bi + ai * br
+
+    out = lax.associative_scan(combine, (re, im))
+    return C(out[0], out[1])
 
 
 def concatenate_periodic(pulse: PulseSequence, repeats: int,

@@ -186,3 +186,51 @@ class TestRemapExtend:
                         want.get_filter_function(omega), atol=1e-10)
         assert list(got.n_oper_identifiers) == list(
             want.n_oper_identifiers)
+
+
+class TestSecondOrderConcatenation:
+    """K11: second-order FF concatenation rule vs reference
+    (numeric.py:1702-1818)."""
+
+    @pytest.mark.skipif(not HAVE_REFERENCE, reason='reference unavailable')
+    def test_second_order_concat_parity(self):
+        import filter_functions as ref
+        omega = np.linspace(0.5, 5, 11)
+        base = rand_pulse_arrays(2, 2)
+        arrays = []
+        for _ in range(3):
+            arr = rand_pulse_arrays(2, 2)
+            arrays.append((arr[0], arr[1], arr[2], base[3], base[4],
+                           base[5], arr[6]))
+        ours = [make_pulse(a) for a in arrays]
+        theirs = [make_pulse(a, cls=ref) for a in arrays]
+        for o, t in zip(ours, theirs):
+            o.get_control_matrix(omega, cache_intermediates=True)
+            o.get_filter_function(omega, order=2, cache_intermediates=True)
+            t.get_control_matrix(omega, cache_intermediates=True)
+            t.get_filter_function(omega, order=2, cache_intermediates=True)
+        got_pulse = ff.concatenate(ours, calc_second_order_FF=True)
+        want_pulse = ref.concatenate(theirs, calc_second_order_FF=True)
+        got = to_np(got_pulse.get_filter_function(omega, order=2))
+        want = want_pulse.get_filter_function(omega, order=2)
+        assert_allclose(got, want, atol=1e-11)
+
+    def test_second_order_concat_equals_scratch(self):
+        """Concatenated second-order FF == second-order FF of the
+        merged pulse computed from scratch."""
+        omega = np.linspace(0.5, 5, 9)
+        base = rand_pulse_arrays(2, 2)
+        arrays = []
+        for _ in range(2):
+            arr = rand_pulse_arrays(2, 2)
+            arrays.append((arr[0], arr[1], arr[2], base[3], base[4],
+                           base[5], arr[6]))
+        pulses = [make_pulse(a) for a in arrays]
+        for p in pulses:
+            p.get_control_matrix(omega, cache_intermediates=True)
+            p.get_filter_function(omega, order=2, cache_intermediates=True)
+        combined = ff.concatenate(pulses, calc_second_order_FF=True)
+        got = to_np(combined.get_filter_function(omega, order=2))
+        scratch = ff.concatenate_without_filter_function(pulses)
+        want = to_np(scratch.get_filter_function(omega, order=2))
+        assert_allclose(got, want, atol=1e-11)
