@@ -232,6 +232,15 @@ class Basis:
             np.linalg.matrix_rank(self._np.reshape(len(self), -1))
             == self.d**2))
 
+    @property
+    def sparse(self) -> np.ndarray:
+        """Host array view of the basis (API compatibility with the
+        reference's COO property, basis.py:325-328).  On TPU, sparse
+        formats buy nothing -- the trace-tensor contractions use
+        structure constants / streamed dense contractions instead -- so
+        this simply returns the dense host array."""
+        return self._np
+
     # -- trace-tensor machinery -----------------------------------------------
     @property
     def four_element_traces(self) -> np.ndarray:

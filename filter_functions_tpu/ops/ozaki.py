@@ -66,7 +66,7 @@ def _slice_fixed_point(x: jnp.ndarray, axis: int, n_slices: int,
     return slices, scale
 
 
-@functools.partial(jax.jit, static_argnames=('precision_bits',))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def ozaki_matmul(a: jnp.ndarray, b: jnp.ndarray,
                  precision_bits: int = DEFAULT_PRECISION_BITS
                  ) -> jnp.ndarray:
@@ -75,7 +75,19 @@ def ozaki_matmul(a: jnp.ndarray, b: jnp.ndarray,
     a: (..., M, K) float64, b: (..., K, N) float64; leading batch axes
     must match.  Relative truncation ~2^-precision_bits of the
     row-times-column magnitude.
+
+    Differentiable in reverse mode via a custom VJP (the digit slicing
+    uses ``round``, whose literal gradient would be zero); cotangents
+    propagate through Ozaki products as well, so optimal-control
+    gradients keep high precision.
     """
+    return _ozaki_matmul_impl(a, b, precision_bits)
+
+
+@functools.partial(jax.jit, static_argnames=('precision_bits',))
+def _ozaki_matmul_impl(a: jnp.ndarray, b: jnp.ndarray,
+                       precision_bits: int = DEFAULT_PRECISION_BITS
+                       ) -> jnp.ndarray:
     K = a.shape[-1]
     slice_bits = min(_MAX_SLICE_BITS,
                      (_ACC_BITS - math.ceil(math.log2(max(K, 2)))) // 2)
@@ -104,3 +116,18 @@ def ozaki_matmul(a: jnp.ndarray, b: jnp.ndarray,
         term = level * (2.0**(-slice_bits * s))
         out = term if out is None else out + term
     return out * a_scale * b_scale
+
+
+def _ozaki_fwd(a, b, precision_bits):
+    return _ozaki_matmul_impl(a, b, precision_bits), (a, b)
+
+
+def _ozaki_bwd(precision_bits, res, g):
+    a, b = res
+    # d/da (a @ b) . g = g @ b^T ;  d/db (a @ b) . g = a^T @ g
+    da = _ozaki_matmul_impl(g, b.swapaxes(-1, -2), precision_bits)
+    db = _ozaki_matmul_impl(a.swapaxes(-1, -2), g, precision_bits)
+    return da, db
+
+
+ozaki_matmul.defvjp(_ozaki_fwd, _ozaki_bwd)

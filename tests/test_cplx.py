@@ -184,3 +184,55 @@ class TestLinalg:
         eps = 1e-6
         fd = (loss(eps) - loss(-eps)) / (2 * eps)
         assert_allclose(g, fd, rtol=1e-5)
+
+
+class TestOzaki:
+    """ops.ozaki: accuracy, K-adaptivity, batching, gradients."""
+
+    def test_accuracy(self):
+        from filter_functions_tpu.ops.ozaki import ozaki_matmul
+        for (m, k, n) in [(32, 64, 16), (20, 300, 10), (8, 4000, 8)]:
+            a = rng.standard_normal((m, k)) \
+                * np.exp(rng.standard_normal((m, 1)) * 4)
+            b = rng.standard_normal((k, n)) \
+                * np.exp(rng.standard_normal((1, n)) * 4)
+            got = np.asarray(ozaki_matmul(jnp.asarray(a), jnp.asarray(b)))
+            want = a @ b
+            rel = np.abs(got - want).max() / np.abs(want).max()
+            assert rel < 1e-11, (k, rel)
+
+    def test_batched(self):
+        from filter_functions_tpu.ops.ozaki import ozaki_matmul
+        a = rng.standard_normal((4, 10, 128))
+        b = rng.standard_normal((4, 128, 6))
+        got = np.asarray(ozaki_matmul(jnp.asarray(a), jnp.asarray(b)))
+        assert_allclose(got, a @ b, rtol=1e-11, atol=1e-13)
+
+    def test_gradients(self):
+        from filter_functions_tpu.ops.ozaki import ozaki_matmul
+        a = jnp.asarray(rng.standard_normal((6, 12)))
+        b = jnp.asarray(rng.standard_normal((12, 5)))
+        g = jax.grad(lambda a: (ozaki_matmul(a, b)**2).sum())(a)
+        want = 2 * (np.asarray(a) @ np.asarray(b)) @ np.asarray(b).T
+        assert_allclose(np.asarray(g), want, rtol=1e-10, atol=1e-12)
+
+    def test_contraction_mode_equivalence(self):
+        """The ozaki control-matrix path equals the native einsum."""
+        import os
+        from filter_functions_tpu import functional
+        from testutil import rand_pulse_sequence
+        pulse = rand_pulse_sequence(2, 4)
+        omega = jnp.linspace(0.5, 10, 16)
+        p = functional.make_pulse_arrays(pulse)
+        old = os.environ.get('FF_TPU_CONTRACT')
+        try:
+            os.environ['FF_TPU_CONTRACT'] = 'native'
+            native = functional.control_matrix(p, omega).to_numpy()
+            os.environ['FF_TPU_CONTRACT'] = 'ozaki'
+            oz = functional.control_matrix(p, omega).to_numpy()
+        finally:
+            if old is None:
+                os.environ.pop('FF_TPU_CONTRACT', None)
+            else:
+                os.environ['FF_TPU_CONTRACT'] = old
+        np.testing.assert_allclose(oz, native, atol=1e-12)

@@ -264,3 +264,56 @@ class TestCNOTGolden:
             infid = np.asarray(ff.infidelity(pulse, spectrum, omega,
                                              identifiers[:3]))
             assert abs(1 - infid.sum() / golden) <= 0.10
+
+
+@pytest.mark.skipif(not HAVE_REFERENCE, reason='reference unavailable')
+class TestCorrelationCumulant:
+    def test_cumulant_correlations_parity(self):
+        """which='correlations' cumulant function vs reference (pulse-
+        correlation decay amplitudes through the trace contraction)."""
+        import filter_functions as ref
+        from testutil import make_pulse, rand_pulse_arrays
+        omega = np.linspace(0.5, 5, 21)
+        base = rand_pulse_arrays(2, 2)
+        arrays = []
+        for _ in range(2):
+            arr = rand_pulse_arrays(2, 2)
+            arrays.append((arr[0], arr[1], arr[2], base[3], base[4],
+                           base[5], arr[6]))
+        ours = [make_pulse(a) for a in arrays]
+        theirs = [make_pulse(a, cls=ref) for a in arrays]
+        for o, t in zip(ours, theirs):
+            o.cache_filter_function(omega)
+            t.cache_filter_function(omega)
+        got_pulse = ff.concatenate(ours, calc_pulse_correlation_FF=True,
+                                   which='generalized')
+        want_pulse = ref.concatenate(theirs, calc_pulse_correlation_FF=True,
+                                     which='generalized')
+        spectrum = 1e-2 / (1 + omega**2)
+        got = np.asarray(numeric.calculate_cumulant_function(
+            got_pulse, spectrum, omega, which='correlations'))
+        want = ref.numeric.calculate_cumulant_function(
+            want_pulse, spectrum, omega, which='correlations')
+        assert_allclose(got, want, atol=1e-12)
+
+    def test_extend_with_additional_noise_parity(self):
+        import filter_functions as ref
+        omega = np.linspace(0.5, 5, 9)
+        x, z = sigma[1], sigma[3]
+
+        def build(mod):
+            p = mod.PulseSequence([[x, [np.pi / 2], 'X']],
+                                  [[x, [1.0], 'X'], [z, [1.0], 'Z']],
+                                  [1], basis=mod.Basis.pauli(1))
+            p.cache_filter_function(omega)
+            zz = np.kron(z, z)
+            H_extra = [[zz / 2, [1.0], 'ZZ']]
+            return mod.extend([(p, 0), (p, 1)],
+                              additional_noise_Hamiltonian=H_extra)
+
+        got = build(ff)
+        want = build(ref)
+        assert list(got.n_oper_identifiers) == \
+            list(want.n_oper_identifiers)
+        assert_allclose(to_np(got.get_filter_function(omega)),
+                        want.get_filter_function(omega), atol=1e-10)
