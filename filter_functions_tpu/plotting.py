@@ -34,7 +34,8 @@ except ImportError:
 __all__ = ['plot_filter_function', 'plot_pulse_train',
            'plot_pulse_correlation_filter_function',
            'plot_cumulant_function', 'plot_infidelity_convergence',
-           'plot_bloch_vector_evolution']
+           'plot_bloch_vector_evolution', 'get_bloch_vector',
+           'get_states_from_prop', 'init_bloch_sphere']
 
 
 def _np(x):
@@ -42,6 +43,45 @@ def _np(x):
     if isinstance(x, C):
         return x.to_numpy()
     return np.asarray(x)
+
+
+def get_states_from_prop(U, psi0=None) -> np.ndarray:
+    """|psi(t)> = U(t, 0)|psi(0)> for a stack of propagators
+    (plotting.py:132-152 equivalent)."""
+    if psi0 is None:
+        psi0 = np.array([[1.], [0.]], dtype=complex)
+    elif hasattr(psi0, 'full'):   # qutip.Qobj
+        psi0 = psi0.full()
+    psi0 = np.asarray(psi0)
+    if psi0.shape[-2:] != (2, 1):
+        raise ValueError('Initial state should be shape (..., 2, 1)')
+    return _np(U) @ psi0
+
+
+def get_bloch_vector(states) -> np.ndarray:
+    """Bloch vector components (<X>, <Y>, <Z>) of a sequence of
+    single-qubit states (plotting.py:98-112 equivalent)."""
+    if _HAS_QUTIP and isinstance(states[0], qt.Qobj):
+        states = np.stack([s.full() for s in states])
+    states = np.asarray(states, dtype=complex).reshape(-1, 2, 1)
+    a, c = states[:, 0, 0], states[:, 1, 0]
+    return np.stack([2 * (a.conj() * c).real,
+                     2 * (a.conj() * c).imag,
+                     (np.abs(a)**2 - np.abs(c)**2)])
+
+
+def init_bloch_sphere(**bloch_kwargs):
+    """qutip Bloch sphere with default view and axis labels
+    (plotting.py:115-129 equivalent; requires qutip)."""
+    if not _HAS_QUTIP:
+        raise RuntimeError('Requires qutip.')
+    bloch_kwargs.setdefault('view', [-150, 30])
+    b = qt.Bloch(**bloch_kwargs)
+    if hasattr(b.axes, 'set_box_aspect'):
+        b.axes.set_box_aspect([1, 1, 1])
+    b.xlabel = [r'$|+\rangle$', '']
+    b.ylabel = [r'$|+_i\rangle$', '']
+    return b
 
 
 def _import_or_axes(fig=None, axes=None, figsize=None):
@@ -254,13 +294,8 @@ def plot_bloch_vector_evolution(pulse, psi0=None, b=None, n_samples=None,
         n_samples = min(5000, max(1000, int(50 * len(pulse.dt))))
     t = np.linspace(0, float(pulse.tau), n_samples)
     propagators = _np(pulse.propagator_at_arb_t(t))
-    states = propagators @ psi0
-    # Bloch vector components
-    a, c = states[:, 0, 0], states[:, 1, 0]
-    vectors = np.stack([2 * (a.conj() * c).real,
-                        2 * (a.conj() * c).imag,
-                        (np.abs(a)**2 - np.abs(c)**2)])
-    bloch = b or qt.Bloch(**bloch_kw)
+    vectors = get_bloch_vector(get_states_from_prop(propagators, psi0))
+    bloch = b or init_bloch_sphere(**bloch_kw)
     bloch.add_points(vectors, meth='l')
     if show:
         bloch.make_sphere()

@@ -24,3 +24,25 @@ State = Union[np.ndarray, Qobj]
 Hamiltonian = Sequence[Sequence]
 #: extend() mapping format: [(pulse, qubits, identifier_mapping?), ...].
 PulseMapping = Sequence[Tuple]
+
+# Matplotlib/cycler return-type aliases (reference types.py:28-64); mocked
+# when the plotting extra is missing so annotations stay importable.
+try:
+    from matplotlib.axes import Axes
+    from matplotlib.colors import Colormap
+    from matplotlib.figure import Figure
+    from matplotlib.legend import Legend
+except ImportError:
+    Axes = type('Axes', (), {})
+    Colormap = type('Colormap', (), {})
+    Figure = type('Figure', (), {})
+    Legend = type('Legend', (), {})
+try:
+    from cycler import Cycler
+except ImportError:
+    Cycler = type('Cycler', (), {})
+
+Grid = np.ndarray
+FigureAxes = Tuple[Figure, Axes]
+FigureAxesLegend = Tuple[Figure, Axes, Legend]
+FigureGrid = Tuple[Figure, Grid]

@@ -74,3 +74,20 @@ def test_bloch_requires_qutip():
     if not plotting._HAS_QUTIP:
         with pytest.raises(RuntimeError):
             plotting.plot_bloch_vector_evolution(pulse)
+
+
+def test_get_states_from_prop_and_bloch_vector():
+    # |0> under X rotations: vector stays unit length, starts at +Z
+    theta = np.linspace(0, np.pi, 7)
+    X = np.array([[0, 1], [1, 0]], complex)
+    U = np.stack([np.cos(t / 2) * np.eye(2) - 1j * np.sin(t / 2) * X
+                  for t in theta])
+    states = plotting.get_states_from_prop(U)
+    assert states.shape == (7, 2, 1)
+    vec = plotting.get_bloch_vector(states)
+    assert vec.shape == (3, 7)
+    np.testing.assert_allclose(np.linalg.norm(vec, axis=0), 1, atol=1e-12)
+    np.testing.assert_allclose(vec[:, 0], [0, 0, 1], atol=1e-12)
+    np.testing.assert_allclose(vec[:, -1], [0, 0, -1], atol=1e-12)
+    with pytest.raises(ValueError):
+        plotting.get_states_from_prop(U, np.ones((3, 1)))
