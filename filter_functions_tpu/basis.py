@@ -275,13 +275,13 @@ class Basis:
         return _pauli_mult_table(n_qubits)
 
     # -- expansion -------------------------------------------------------------
-    def expand(self, m, hermitian: bool = False, traceless: bool = False,
+    def expand(self, M, hermitian: bool = False, traceless: bool = False,
                tidyup: bool = False):
         """Expansion coefficients of matrices *m* in this basis
         (basis.py:350-371 equivalent)."""
         if self.btype == 'GGM' and self.iscomplete:
-            return ggm_expand(m, traceless, hermitian, tidyup)
-        return expand(m, self, self.isnorm, hermitian, tidyup)
+            return ggm_expand(M, traceless, hermitian, tidyup)
+        return expand(M, self, self.isnorm, hermitian, tidyup)
 
     def normalize(self, copy: bool = False):
         if copy:
@@ -423,7 +423,7 @@ def _null_space(a: np.ndarray) -> np.ndarray:
     return vh[num:].conj().T
 
 
-def expand(m, basis, normalized: bool = True, hermitian: bool = False,
+def expand(M, basis, normalized: bool = True, hermitian: bool = False,
            tidyup: bool = False):
     r"""Expansion coefficients c_j = tr(M C_j) [/ tr(C_j^dag C_j)]
     (basis.py:650-698 equivalent).
@@ -435,16 +435,16 @@ def expand(m, basis, normalized: bool = True, hermitian: bool = False,
     isherm_basis = (basis.isherm if isinstance(basis, Basis)
                     else np.allclose(b, b.conj().swapaxes(-1, -2)))
 
-    if isinstance(m, C):
-        coeffs = util.ceinsum('...ab,jba->...j', m, b)
+    if isinstance(M, C):
+        coeffs = util.ceinsum('...ab,jba->...j', M, b)
         if not normalized:
             coeffs = coeffs / np.einsum('jab,jba->j', b, b).real
         if hermitian and isherm_basis:
             return coeffs.re
         return coeffs
 
-    m = np.asarray(m)
-    coeffs = np.tensordot(m, b, axes=[(-2, -1), (-1, -2)])
+    M = np.asarray(M)
+    coeffs = np.tensordot(M, b, axes=[(-2, -1), (-1, -2)])
     if hermitian and isherm_basis:
         coeffs = coeffs.real
     if not normalized:
@@ -458,7 +458,7 @@ def _ggm_indices(d: int):
     return rows, cols
 
 
-def ggm_expand(m, traceless: bool = False, hermitian: bool = False,
+def ggm_expand(M, traceless: bool = False, hermitian: bool = False,
                tidyup: bool = False):
     r"""Fast GGM expansion from the explicit construction, without inner
     products (basis.py:701-787 equivalent).
@@ -466,33 +466,33 @@ def ggm_expand(m, traceless: bool = False, hermitian: bool = False,
     Supports numpy arrays and :class:`C` device arrays; vectorized over
     leading axes.
     """
-    if isinstance(m, C):
-        out = _ggm_expand_dev(m, traceless)
+    if isinstance(M, C):
+        out = _ggm_expand_dev(M, traceless)
         return out.re if hermitian else out
 
-    m = np.asarray(m)
-    if m.shape[-1] != m.shape[-2]:
+    M = np.asarray(M)
+    if M.shape[-1] != M.shape[-2]:
         raise ValueError('M should be square in its last two axes')
-    square = m.ndim < 3
+    square = M.ndim < 3
     if square:
-        m = m[None]
-    d = m.shape[-1]
+        M = M[None]
+    d = M.shape[-1]
     n_sym = d * (d - 1) // 2
     rows, cols = _ggm_indices(d)
 
     def cast(x):
         return x.real if hermitian else x
 
-    coeffs = np.zeros((*m.shape[:-2], d**2),
+    coeffs = np.zeros((*M.shape[:-2], d**2),
                       dtype=float if hermitian else complex)
     if not traceless:
-        coeffs[..., 0] = cast(np.trace(m, 0, -1, -2)) / np.sqrt(d)
-    upper = m[..., rows, cols]
-    lower = m[..., cols, rows]
+        coeffs[..., 0] = cast(np.trace(M, 0, -1, -2)) / np.sqrt(d)
+    upper = M[..., rows, cols]
+    lower = M[..., cols, rows]
     coeffs[..., 1:1 + n_sym] = cast(upper + lower) / np.sqrt(2)
     coeffs[..., 1 + n_sym:1 + 2 * n_sym] = cast(1j * (upper - lower)) \
         / np.sqrt(2)
-    diag = np.diagonal(m, 0, -2, -1)
+    diag = np.diagonal(M, 0, -2, -1)
     el = np.arange(1, d)
     partial = diag[..., :-1].cumsum(axis=-1)
     coeffs[..., 2 * n_sym + el] = cast(partial - el * diag[..., 1:]) \
@@ -573,25 +573,25 @@ def _pauli_mult_table(n_qubits: int):
     return index.astype(np.int64), phase
 
 
-def equivalent_pauli_basis_elements(idx, n_qubits: int) -> np.ndarray:
+def equivalent_pauli_basis_elements(idx, N: int) -> np.ndarray:
     """Indices of N-qubit Pauli elements that act nontrivially only on
     the qubits in *idx* (identity elsewhere); cf. basis.py:790-800."""
     idx = [idx] if isinstance(idx, (int, np.integer)) else list(idx)
-    ranges = [range(4) if i in idx else [0] for i in range(n_qubits)]
+    ranges = [range(4) if i in idx else [0] for i in range(N)]
     out = []
-    weights = 4 ** np.arange(n_qubits - 1, -1, -1)
+    weights = 4 ** np.arange(N - 1, -1, -1)
     for digits in iproduct(*ranges):
         out.append(int(np.dot(digits, weights)))
     return np.array(out)
 
 
 def remap_pauli_basis_elements(order: Sequence[int],
-                               n_qubits: int) -> np.ndarray:
+                               N: int) -> np.ndarray:
     """Index permutation of the N-qubit Pauli basis under a qubit
     permutation *order* (basis.py:803-815 equivalent)."""
-    weights = 4 ** np.arange(n_qubits - 1, -1, -1)
-    out = np.empty(4**n_qubits, dtype=np.int64)
-    for lin, digits in enumerate(iproduct(range(4), repeat=n_qubits)):
-        permuted = [digits[order[i]] for i in range(n_qubits)]
+    weights = 4 ** np.arange(N - 1, -1, -1)
+    out = np.empty(4**N, dtype=np.int64)
+    for lin, digits in enumerate(iproduct(range(4), repeat=N)):
+        permuted = [digits[order[i]] for i in range(N)]
         out[lin] = int(np.dot(permuted, weights))
     return out

@@ -220,9 +220,10 @@ def plot_cumulant_function(
         n_oper_identifiers: Optional[Sequence] = None,
         second_order: bool = False, colorscale: str = 'linear',
         linthresh: Optional[float] = None, basis_labels=None,
-        basis_labelsize=None, fig=None, grid=None, cbar_label:
+        basis_labelsize=None, cmap=None, fig=None, grid=None, cbar_label:
         str = 'Cumulant Function', cbar_labelsize=None, subplot_kw=None,
-        gridspec_kw=None, **figure_kw):
+        gridspec_kw=None, grid_kw=None, cbar_kw=None, imshow_kw=None,
+        **figure_kw):
     """Image-plot the cumulant function matrices K_{a,ij}
     (plotting.py equivalent of plot_cumulant_function)."""
     if cumulant_function is None:
@@ -260,7 +261,8 @@ def plot_cumulant_function(
         norm = colors.Normalize(vmin=-kmax, vmax=kmax)
 
     for panel, (ax, ki) in enumerate(zip(grid, k)):
-        im = ax.imshow(ki, norm=norm, cmap='RdBu')
+        im = ax.imshow(ki, norm=norm, cmap=cmap or 'RdBu',
+                       **(imshow_kw or {}))
         ax.set_title(f'$K({labels[panel]})$'
                      if panel < len(labels) else '')
         if basis_labels is not None:
@@ -269,7 +271,8 @@ def plot_cumulant_function(
             ax.set_xticklabels(basis_labels, rotation=90,
                                fontsize=basis_labelsize)
             ax.set_yticklabels(basis_labels, fontsize=basis_labelsize)
-    cbar = fig.colorbar(im, ax=list(grid), label=cbar_label)
+    cbar = fig.colorbar(im, ax=list(grid), label=cbar_label,
+                        **(cbar_kw or {}))
     if cbar_labelsize is not None:
         cbar.set_label(cbar_label, size=cbar_labelsize)
     return fig, grid
@@ -278,7 +281,7 @@ def plot_cumulant_function(
 def plot_bloch_vector_evolution(pulse, psi0=None, b=None, n_samples=None,
                                 cmap=None, add_cbar: bool = False,
                                 show: bool = True, return_Bloch:
-                                bool = False, **bloch_kw):
+                                bool = False, cbar_kwargs=None, **bloch_kw):
     """Plot the Bloch-vector trajectory of a qubit state under *pulse*
     (plotting.py equivalent; requires qutip)."""
     if not _HAS_QUTIP:
@@ -296,7 +299,26 @@ def plot_bloch_vector_evolution(pulse, psi0=None, b=None, n_samples=None,
     propagators = _np(pulse.propagator_at_arb_t(t))
     vectors = get_bloch_vector(get_states_from_prop(propagators, psi0))
     bloch = b or init_bloch_sphere(**bloch_kw)
-    bloch.add_points(vectors, meth='l')
+    if cmap is not None:
+        # time-colored trajectory: one line segment per sample pair
+        cmap_obj = plt.get_cmap(cmap) if isinstance(cmap, str) else cmap
+        seg_colors = cmap_obj(np.linspace(0, 1, n_samples - 1))
+        for i in range(n_samples - 1):
+            bloch.add_points(vectors[:, i:i + 2], meth='l',
+                             colors=[seg_colors[i]])
+    else:
+        bloch.add_points(vectors, meth='l')
+    if add_cbar:
+        kw = dict(cbar_kwargs or {})
+        shrink = kw.pop('shrink', 2 / 3)
+        pad = kw.pop('pad', 0.05)
+        label = kw.pop('label', '$t$ ($\\tau$)')
+        cmap_obj = (plt.get_cmap(cmap or 'viridis')
+                    if not hasattr(cmap, 'N') else cmap)
+        mappable = plt.cm.ScalarMappable(
+            norm=colors.Normalize(0, 1), cmap=cmap_obj)
+        bloch.fig.colorbar(mappable, ax=bloch.axes, shrink=shrink,
+                           pad=pad, label=label, **kw)
     if show:
         bloch.make_sphere()
     if return_Bloch:

@@ -19,16 +19,16 @@ __all__ = ['liouville_representation', 'liouville_to_choi',
            'liouville_is_CP', 'liouville_is_cCP']
 
 
-def liouville_representation(u, basis: _b.Basis):
+def liouville_representation(U, basis: _b.Basis):
     r"""Liouville (transfer-matrix) representation
-    U_ij = tr(C_i U C_j U^dag) of a unitary *u* w.r.t. *basis*
+    U_ij = tr(C_i U C_j U^dag) of a unitary *U* w.r.t. *basis*
     (superoperator.py:51-84).
 
     Returns a real jnp array for hermitian bases, else a :class:`C`.
     """
-    u = asc(u)
-    conjugated = ceinsum('...ba,ibc,...cd->...iad', u.conj(),
-                         basis.dev, u)
+    U = asc(U)
+    conjugated = ceinsum('...ba,ibc,...cd->...iad', U.conj(),
+                         basis.dev, U)
     coeffs = _b.expand(conjugated, basis, hermitian=basis.isherm)
     return coeffs
 

@@ -479,18 +479,18 @@ def remove_float_errors(arr, eps_scale: Optional[float] = None):
     return arr
 
 
-def dot_HS(u, v, eps: Optional[float] = None):
+def dot_HS(U, V, eps: Optional[float] = None):
     r"""Hilbert-Schmidt inner product tr(U^dag V) (util.py:1003-1051)."""
-    u = u.full() if hasattr(u, 'full') else u
-    v = v.full() if hasattr(v, 'full') else v
-    u, v = np.asarray(u), np.asarray(v)
+    U = U.full() if hasattr(U, 'full') else U
+    V = V.full() if hasattr(V, 'full') else V
+    U, V = np.asarray(U), np.asarray(V)
     if eps is None:
         try:
-            eps = max(np.finfo(u.dtype).eps, np.finfo(v.dtype).eps) \
-                * np.prod(u.shape) * v.shape[-1] * 2
+            eps = max(np.finfo(U.dtype).eps, np.finfo(V.dtype).eps) \
+                * np.prod(U.shape) * V.shape[-1] * 2
         except ValueError:
             eps = 0
-    res = np.einsum('...ij,...ij', u.conj(), v)
+    res = np.einsum('...ij,...ij', U.conj(), V)
     if eps > 0:
         res = np.around(res, decimals=abs(int(np.log10(eps))))
     return res if np.iscomplexobj(res) and res.imag.any() else res.real
