@@ -200,6 +200,11 @@ class PulseSequence:
     def __len__(self) -> int:
         return len(self.dt)
 
+    # Tell NumPy this is a scalar object: PulseSequence is iterable via
+    # __getitem__, so np.asarray would otherwise unroll it into an array
+    # of segment pulses (pulse_sequence.py:241-251 semantics).
+    __array_interface__ = {'shape': (), 'typestr': '|O', 'version': 3}
+
     def __eq__(self, other) -> bool:
         """Physical equality (pulse_sequence.py:363-440): equal-segment
         joining, identifier-sorted comparison of all defining arrays."""
