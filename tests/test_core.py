@@ -300,3 +300,52 @@ class TestPropagatorAtArbT:
         got = to_np(ours.propagator_at_arb_t(tt))
         want = theirs.propagator_at_arb_t(tt)
         assert_allclose(got, want, atol=1e-12)
+
+
+class TestConstructionNegativePaths:
+    """Reference test_core pins a large negative-path surface
+    (reference tests/test_core.py TestPulseSequence.test_pulse_sequence_constructor)."""
+
+    def test_duplicate_identifiers(self):
+        X, Z = sigma[1], sigma[3]
+        with pytest.raises(ValueError):
+            ff.PulseSequence([[X, [1.0], 'X'], [Z, [1.0], 'X']],
+                             [[Z, [1.0], 'Z']], [1.0])
+
+    def test_complex_dt(self):
+        X, Z = sigma[1], sigma[3]
+        with pytest.raises(ValueError):
+            ff.PulseSequence([[X, [1.0]]], [[Z, [1.0]]], [1.0 + 1j])
+
+    def test_negative_dt(self):
+        X, Z = sigma[1], sigma[3]
+        with pytest.raises(ValueError):
+            ff.PulseSequence([[X, [1.0, 1.0]]], [[Z, [1.0, 1.0]]],
+                             [1.0, -1.0])
+
+    def test_dimension_mismatch(self):
+        X = sigma[1]
+        Z3 = np.diag([1., 0., -1.]).astype(complex)
+        with pytest.raises(ValueError):
+            ff.PulseSequence([[X, [1.0]]], [[Z3, [1.0]]], [1.0])
+
+    def test_coeff_not_sequence(self):
+        X, Z = sigma[1], sigma[3]
+        with pytest.raises(TypeError):
+            ff.PulseSequence([[X, 1.0]], [[Z, [1.0]]], [1.0])
+
+    def test_empty_slice_raises(self):
+        p = rand_pulse_sequence(2, 4)
+        with pytest.raises(IndexError):
+            p[4:4]
+
+    def test_numpy_does_not_unroll(self):
+        p = rand_pulse_sequence(2, 4)
+        arr = np.asarray([p, p])
+        assert arr.shape == (2,) and arr.dtype == object
+
+    def test_imatmul_unsupported(self):
+        p = rand_pulse_sequence(2, 2)
+        q = rand_pulse_sequence(2, 2)
+        with pytest.raises(NotImplementedError):
+            p @= q

@@ -234,3 +234,97 @@ class TestSecondOrderConcatenation:
         scratch = ff.concatenate_without_filter_function(pulses)
         want = to_np(scratch.get_filter_function(omega, order=2))
         assert_allclose(got, want, atol=1e-11)
+
+
+class TestHamiltonianMerging:
+    """Identifier clash resolution and sensitivity inference
+    (pulse_sequence.py:1340-1483 semantics)."""
+
+    def test_same_oper_different_id_errors(self):
+        X, Z = sigma[1], sigma[3]
+        a = ff.PulseSequence([[X, [1.0], 'X1']], [[Z, [1.0], 'Z']], [1.0])
+        b = ff.PulseSequence([[X, [1.0], 'X2']], [[Z, [1.0], 'Z']], [1.0])
+        with pytest.raises(ValueError):
+            ff.concatenate_without_filter_function([a, b])
+
+    def test_same_id_different_oper_suffixed(self):
+        X, Y, Z = sigma[1], sigma[2], sigma[3]
+        a = ff.PulseSequence([[X, [1.0], 'ctrl']], [[Z, [1.0], 'Z']], [1.0])
+        b = ff.PulseSequence([[Y, [1.0], 'ctrl']], [[Z, [1.0], 'Z']], [1.0])
+        c = ff.concatenate_without_filter_function([a, b])
+        ids = sorted(c.c_oper_identifiers.tolist())
+        assert ids == ['ctrl_0', 'ctrl_1']
+
+    def test_constant_sensitivity_inference(self):
+        X, Y, Z = sigma[1], sigma[2], sigma[3]
+        # pulse b lacks the Y noise oper; its constant sensitivity 0.5
+        # from a is inferred for b's segments
+        a = ff.PulseSequence([[X, [1.0], 'X']],
+                             [[Z, [1.0], 'Z'], [Y, [0.5], 'Y']], [1.0])
+        b = ff.PulseSequence([[X, [2.0], 'X']], [[Z, [1.0], 'Z']], [1.0])
+        c = ff.concatenate_without_filter_function([a, b])
+        y_row = c.n_coeffs[list(c.n_oper_identifiers).index('Y')]
+        assert_allclose(y_row, [0.5, 0.5])
+
+    def test_nonconstant_sensitivity_errors(self):
+        X, Y, Z = sigma[1], sigma[2], sigma[3]
+        a = ff.PulseSequence([[X, [1.0, 1.0], 'X']],
+                             [[Z, [1.0, 1.0], 'Z'], [Y, [0.5, 0.7], 'Y']],
+                             [1.0, 1.0])
+        b = ff.PulseSequence([[X, [2.0], 'X']], [[Z, [1.0], 'Z']], [1.0])
+        with pytest.raises(ValueError):
+            ff.concatenate_without_filter_function([a, b])
+
+    def test_concatenate_type_errors(self):
+        p = rand_pulse_sequence(2, 2)
+        with pytest.raises(TypeError):
+            ff.concatenate_without_filter_function(42)
+        with pytest.raises(TypeError):
+            ff.concatenate_without_filter_function([p, 'not a pulse'])
+        q = rand_pulse_sequence(3, 2)
+        with pytest.raises(ValueError):
+            ff.concatenate_without_filter_function([p, q])
+
+    def test_single_pulse_concatenate_is_copy(self):
+        p = rand_pulse_sequence(2, 3)
+        c = ff.concatenate([p])
+        assert c == p and c is not p
+
+
+class TestExtendErrors:
+    def test_qubit_clash(self):
+        p = rand_pulse_sequence(2, 2, btype='Pauli')
+        q = rand_pulse_sequence(2, 2, btype='Pauli')
+        with pytest.raises(ValueError):
+            ff.extend([(p, 0), (q, 0)])
+
+    def test_additional_noise_id_clash(self):
+        X, Z = sigma[1], sigma[3]
+        p = ff.PulseSequence([[X, [1.0], 'X']], [[Z, [1.0], 'Z']], [1.0],
+                             basis=ff.Basis.pauli(1))
+        with pytest.raises(ValueError):
+            ff.extend([(p, 0, {'X': 'X_0', 'Z': 'ZZ'})], N=2,
+                      additional_noise_Hamiltonian=[
+                          [np.kron(Z, Z), [1.0], 'ZZ']])
+
+
+class TestGeneralizedPulseCorrelation:
+    def test_generalized_pc_traces_to_fidelity(self):
+        omega = np.linspace(0.5, 5, 11)
+        pulses = [rand_pulse_sequence(2, 3) for _ in range(2)]
+        base = pulses[0]
+        pulses = []
+        for _ in range(2):
+            arr = rand_pulse_arrays(2, 3)
+            arr = (arr[0], arr[1], arr[2], base.n_opers,
+                   base.n_oper_identifiers, arr[5], arr[6])
+            pulses.append(ff.PulseSequence.from_arrays(
+                arr[0], arr[1], arr[2], arr[3], arr[4], arr[5], arr[6],
+                basis=base.basis))
+        for p in pulses:
+            p.cache_filter_function(omega, which='generalized')
+        c = ff.concatenate(pulses, calc_pulse_correlation_FF=True,
+                           which='generalized', omega=omega)
+        gen = to_np(c.get_pulse_correlation_filter_function('generalized'))
+        fid = to_np(c.get_pulse_correlation_filter_function('fidelity'))
+        assert_allclose(np.trace(gen, axis1=4, axis2=5), fid, atol=1e-13)
