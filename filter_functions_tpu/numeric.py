@@ -86,16 +86,38 @@ def _first_order_integral_batched(omega: jnp.ndarray, eigvals: jnp.ndarray,
     Shapes: omega (n_omega,), eigvals (..., d), dt (...,).
     Returns C of shape (..., n_omega, d, d).  Closed form:
     I = [sin(phi dt) + 2i sin^2(phi dt / 2)] / phi.
+
+    On TPU, f64 transcendentals are software-emulated and dominate the
+    table cost, so the phase is factored: with x = (omega + Omega) dt,
+    sin/cos(x) come from the angle-addition of e^{i omega dt} (one
+    (..., n_w) table) and e^{i Omega dt} (one (..., d, d) table) --
+    O(n_w + d^2) sins instead of O(n_w d^2).  The product form loses
+    relative accuracy only where x -> 0 through cancellation; there a
+    Taylor branch (|x| < 0.05, relative error < 1e-16) takes over, so
+    absolute accuracy stays at the 1e-16 dt scale everywhere.
     """
-    dE = eigvals[..., None, :, None] - eigvals[..., None, None, :]
-    phi = omega[:, None, None] + dE                    # (..., n_w, d, d)
+    dE = eigvals[..., :, None] - eigvals[..., None, :]   # (..., d, d)
     dt_b = dt[..., None, None, None]
-    mask = phi != 0.0
-    phi_safe = jnp.where(mask, phi, 1.0)
-    s_half = jnp.sin(phi * dt_b / 2)
-    re = jnp.where(mask, jnp.sin(phi * dt_b) / phi_safe,
-                   jnp.broadcast_to(dt_b, phi.shape))
-    im = jnp.where(mask, 2.0 * s_half * s_half / phi_safe, 0.0)
+    x = (omega[:, None, None] + dE[..., None, :, :]) * dt_b
+
+    a = omega * dt[..., None]                            # (..., n_w)
+    sa, ca = jnp.sin(a), jnp.cos(a)
+    b = dE * dt[..., None, None]                         # (..., d, d)
+    sb, cb = jnp.sin(b), jnp.cos(b)
+    sa, ca = sa[..., :, None, None], ca[..., :, None, None]
+    sb, cb = sb[..., None, :, :], cb[..., None, :, :]
+    sin_x = sa * cb + ca * sb
+    one_minus_cos_x = 1.0 - (ca * cb - sa * sb)
+
+    small = jnp.abs(x) < 0.05
+    inv_phi = dt_b / jnp.where(small, 1.0, x)            # 1/(omega+Omega)
+    x2 = x * x
+    re_taylor = dt_b * (1.0 + x2 * (-1.0 / 6.0 + x2 * (
+        1.0 / 120.0 + x2 * (-1.0 / 5040.0))))
+    im_taylor = dt_b * x * (0.5 + x2 * (-1.0 / 24.0 + x2 * (
+        1.0 / 720.0 + x2 * (-1.0 / 40320.0))))
+    re = jnp.where(small, re_taylor, sin_x * inv_phi)
+    im = jnp.where(small, im_taylor, one_minus_cos_x * inv_phi)
     return C(re, im)
 
 
@@ -123,27 +145,46 @@ def _second_order_integral_single(omega: jnp.ndarray, eigvals: jnp.ndarray,
     y = omega[:, None, None] + dE[None]                 # (o, m, n)
     z = dE[:, :, None, None] + dE[None, None]           # (i, j, m, n)
 
-    def frac(u):
-        m = u != 0.0
-        us = jnp.where(m, u, 1.0)
-        e = cexpm1(u * dt)
-        # (e^{iu dt}-1)/u ; at u=0 -> i dt
-        return C(jnp.where(m, e.re / us, 0.0),
-                 jnp.where(m, e.im / us, jnp.broadcast_to(
-                     jnp.asarray(dt, u.dtype), u.shape)))
+    def frac_from_trig(u, sin_u, cos_u):
+        """(e^{iu dt}-1)/u from precomputed sin/cos(u dt); Taylor branch
+        for |u dt| < 0.05 covers both the u -> 0 limit and the
+        cancellation loss of the angle-addition product forms."""
+        w = u * dt
+        small = jnp.abs(w) < 0.05
+        inv_u = 1.0 / jnp.where(small, 1.0, u)
+        w2 = w * w
+        re_t = -dt * w * (0.5 + w2 * (-1.0 / 24.0 + w2 * (
+            1.0 / 720.0 + w2 * (-1.0 / 40320.0))))
+        im_t = dt * (1.0 + w2 * (-1.0 / 6.0 + w2 * (
+            1.0 / 120.0 + w2 * (-1.0 / 5040.0))))
+        return C(jnp.where(small, re_t, (cos_u - 1.0) * inv_u),
+                 jnp.where(small, im_t, sin_u * inv_u))
 
-    f_x = frac(x)                                       # (o, i, j)
-    f_z = frac(z)                                       # (i, j, m, n)
+    # sin/cos(x dt) by angle addition: x dt = Omega_ij dt - omega dt,
+    # so only O(n_omega + d^2) f64 transcendentals (software-emulated
+    # on TPU) instead of O(n_omega d^2).
+    a = -omega * dt                                     # (o,)
+    sa, ca = jnp.sin(a)[:, None, None], jnp.cos(a)[:, None, None]
+    b = dE * dt                                         # (i, j)
+    sb, cb = jnp.sin(b)[None], jnp.cos(b)[None]
+    sin_x = sb * ca + cb * sa
+    cos_x = cb * ca - sb * sa
+
+    f_x = frac_from_trig(x, sin_x, cos_x)               # (o, i, j)
+    zdt = z * dt
+    f_z = frac_from_trig(z, jnp.sin(zdt), jnp.cos(zdt))  # (i, j, m, n)
     mask_y = (y != 0.0)[:, None, None]                  # (o, 1, 1, m, n)
-    y_safe = jnp.where(mask_y, y[:, None, None], 1.0)
-    general = (f_x[..., None, None] - f_z[None]) / y_safe
+    # reciprocal once on the small (o, m, n) table; the big
+    # (o, i, j, m, n) lattice then only multiplies (f64 divides are
+    # far costlier than multiplies under emulation)
+    r_y = (1.0 / jnp.where(mask_y[:, 0, 0], y, 1.0))[:, None, None]
+    general = (f_x[..., None, None] - f_z[None]) * r_y
 
     # y == 0 limit, broadcast over (m, n)
     mask_x = x != 0.0
-    x_safe = jnp.where(mask_x, x, 1.0)
-    exp_x = cexp(x * dt)
-    num = f_x - C(-exp_x.im * dt, exp_x.re * dt)        # f(x) - i dt e^{ixdt}
-    special = where(mask_x, num / x_safe,
+    r_x = 1.0 / jnp.where(mask_x, x, 1.0)
+    num = f_x - C(-sin_x * dt, cos_x * dt)              # f(x) - i dt e^{ixdt}
+    special = where(mask_x, num * r_x,
                     C(jnp.full_like(x, dt * dt / 2)))
     return where(mask_y, general, special[..., None, None])
 

@@ -23,9 +23,10 @@ The slice width therefore adapts to the reduction depth:
 ``slice_bits = (24 - ceil(log2 K)) // 2`` (8 bits up to K = 256, 6
 bits up to K = 4096, ...).  ``precision_bits`` selects the truncation
 level L: the neglected pairs contribute < 2^-precision_bits relative
-to the row*column magnitude.  42 bits (~2e-13) is the default -- far
-inside the 1e-10 infidelity-parity budget even with orders of
-magnitude of cancellation amplification.
+to the row*column magnitude.  36 bits (~1.5e-11 truncation, measured
+infidelity parity ~1e-13 after integral averaging) is the default --
+still >100x inside the 1e-10 parity budget; 42 bits costs ~25% more
+MXU products for ~2 extra digits.
 """
 from __future__ import annotations
 
@@ -42,7 +43,7 @@ import os
 __all__ = ['ozaki_matmul', 'DEFAULT_PRECISION_BITS']
 
 #: Truncation level; override with FF_TPU_OZAKI_BITS.
-DEFAULT_PRECISION_BITS = int(os.environ.get('FF_TPU_OZAKI_BITS', '42'))
+DEFAULT_PRECISION_BITS = int(os.environ.get('FF_TPU_OZAKI_BITS', '36'))
 #: f32 accumulator mantissa budget.
 _ACC_BITS = 24
 #: bf16 holds integers up to 2^8 exactly.

@@ -6,8 +6,10 @@ of the workload -- the frequency grid and the pulse batch -- are
 sharded over a :class:`jax.sharding.Mesh`, and the frequency integrals
 reduce with XLA collectives inserted automatically by GSPMD.
 """
+from .optimize import OptimizationResult, optimize_pulse
 from .sharding import (make_mesh, shard_omega, sharded_filter_function,
                        sharded_infidelity, grape_step, make_grape_step)
 
 __all__ = ['make_mesh', 'shard_omega', 'sharded_filter_function',
-           'sharded_infidelity', 'grape_step', 'make_grape_step']
+           'sharded_infidelity', 'grape_step', 'make_grape_step',
+           'OptimizationResult', 'optimize_pulse']
