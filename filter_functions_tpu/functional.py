@@ -78,13 +78,36 @@ def infidelity(p: PulseArrays, spectrum: jnp.ndarray,
 
 
 def batched_infidelity(p: PulseArrays, spectrum: jnp.ndarray,
-                       omega: jnp.ndarray) -> jnp.ndarray:
+                       omega: jnp.ndarray,
+                       chunk_size: Optional[int] = None) -> jnp.ndarray:
     """Infidelity vmapped over a leading batch axis of c_coeffs /
     n_coeffs / dt (shared operators and basis).
+
+    ``vmap`` hoists the per-pulse omega-lattice workspaces for the whole
+    batch into HBM at once (~1 GiB/pulse for the d=16, 1000-frequency
+    flagship); pass ``chunk_size`` to evaluate the batch in sequential
+    ``lax.map`` chunks of that many vmapped pulses, bounding peak memory
+    at chunk_size pulses with no accuracy impact.  The batch must divide
+    evenly into chunks.
 
     Output shape (batch, n_nops)."""
     def single(c_coeffs, n_coeffs, dt):
         return infidelity(
             PulseArrays(p.c_opers, c_coeffs, p.n_opers, n_coeffs, dt,
                         p.basis), spectrum, omega)
-    return jax.vmap(single)(p.c_coeffs, p.n_coeffs, p.dt)
+
+    batch = p.c_coeffs.shape[0]
+    if chunk_size is None or chunk_size >= batch:
+        return jax.vmap(single)(p.c_coeffs, p.n_coeffs, p.dt)
+    if batch % chunk_size:
+        raise ValueError(f'chunk_size {chunk_size} must divide batch '
+                         f'{batch}')
+
+    def chunked(args):
+        return jax.vmap(single)(*args)
+
+    n_chunks = batch // chunk_size
+    reshaped = tuple(a.reshape((n_chunks, chunk_size) + a.shape[1:])
+                     for a in (p.c_coeffs, p.n_coeffs, p.dt))
+    out = jax.lax.map(chunked, reshaped)
+    return out.reshape((batch,) + out.shape[2:])

@@ -155,3 +155,25 @@ def test_optimize_pulse_regularized():
     # heavy power regularization pushes controls toward zero
     assert float(jnp.sum(res.c_coeffs**2)) < float(
         jnp.sum(jnp.asarray(p.c_coeffs)**2))
+
+
+def test_batched_infidelity_chunked_matches_vmap():
+    pulse = rand_pulse_sequence(2, 4)
+    p = functional.make_pulse_arrays(pulse)
+    omega = jnp.linspace(0.5, 10, 16)
+    spectrum = 1e-2 / omega
+    batch = 6
+    rng_l = np.random.default_rng(7)
+    pb = functional.PulseArrays(
+        p.c_opers,
+        jnp.asarray(p.c_coeffs)[None] * (
+            1 + 0.1 * rng_l.standard_normal((batch, 1, 1))),
+        p.n_opers,
+        jnp.broadcast_to(p.n_coeffs, (batch,) + p.n_coeffs.shape),
+        jnp.broadcast_to(p.dt, (batch,) + p.dt.shape), p.basis)
+    full = functional.batched_infidelity(pb, spectrum, omega)
+    chunked = functional.batched_infidelity(pb, spectrum, omega,
+                                            chunk_size=2)
+    assert_allclose(np.asarray(chunked), np.asarray(full), atol=1e-15)
+    with pytest.raises(ValueError):
+        functional.batched_infidelity(pb, spectrum, omega, chunk_size=4)
