@@ -196,17 +196,27 @@ class TestOzaki:
                 * np.exp(rng.standard_normal((m, 1)) * 4)
             b = rng.standard_normal((k, n)) \
                 * np.exp(rng.standard_normal((1, n)) * 4)
-            got = np.asarray(ozaki_matmul(jnp.asarray(a), jnp.asarray(b)))
             want = a @ b
+            # default truncation (36-bit): ~2^-36 of row*col magnitude
+            got = np.asarray(ozaki_matmul(jnp.asarray(a), jnp.asarray(b)))
             rel = np.abs(got - want).max() / np.abs(want).max()
-            assert rel < 1e-11, (k, rel)
+            assert rel < 2**-36 * 16, (k, rel)
+            # explicit high precision tightens accordingly
+            got48 = np.asarray(ozaki_matmul(jnp.asarray(a), jnp.asarray(b),
+                                            48))
+            rel48 = np.abs(got48 - want).max() / np.abs(want).max()
+            assert rel48 < 1e-13, (k, rel48)
 
     def test_batched(self):
         from filter_functions_tpu.ops.ozaki import ozaki_matmul
         a = rng.standard_normal((4, 10, 128))
         b = rng.standard_normal((4, 128, 6))
         got = np.asarray(ozaki_matmul(jnp.asarray(a), jnp.asarray(b)))
-        assert_allclose(got, a @ b, rtol=1e-11, atol=1e-13)
+        # truncation is relative to the row*col magnitude, so elements
+        # that cancel need a magnitude-scaled atol
+        scale = (np.abs(a) @ np.abs(b)).max()
+        assert_allclose(got, a @ b, rtol=2**-36 * 16,
+                        atol=2**-36 * 16 * scale)
 
     def test_gradients(self):
         from filter_functions_tpu.ops.ozaki import ozaki_matmul
@@ -214,7 +224,7 @@ class TestOzaki:
         b = jnp.asarray(rng.standard_normal((12, 5)))
         g = jax.grad(lambda a: (ozaki_matmul(a, b)**2).sum())(a)
         want = 2 * (np.asarray(a) @ np.asarray(b)) @ np.asarray(b).T
-        assert_allclose(np.asarray(g), want, rtol=1e-10, atol=1e-12)
+        assert_allclose(np.asarray(g), want, rtol=2**-36 * 64, atol=1e-10)
 
     def test_contraction_mode_equivalence(self):
         """The ozaki control-matrix path equals the native einsum."""
