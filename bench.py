@@ -68,12 +68,16 @@ def time_ours(batched, omega, spectrum, iters=5):
     omega_j = jnp.asarray(omega)
     spectrum_j = jnp.asarray(spectrum)
     out = jax.block_until_ready(fn(batched, spectrum_j, omega_j))  # compile
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(batched, spectrum_j, omega_j)
-    out = jax.block_until_ready(out)
-    elapsed = time.perf_counter() - t0
-    return elapsed / (iters * BATCH), np.asarray(out)
+    # Distinct inputs per iteration (1 ulp-scale jitter) and a block
+    # per iteration: defeats any backend-side result memoization /
+    # async pipelining that would otherwise fake a fast repeat.
+    times = []
+    for i in range(iters):
+        s_i = jax.block_until_ready(spectrum_j * (1.0 + 1e-14 * (i + 1)))
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(fn(batched, s_i, omega_j))
+        times.append(time.perf_counter() - t0)
+    return min(times) / BATCH, np.asarray(out)
 
 
 def time_reference(pulse_arrays_host, omega, spectrum, n_pulses=2):
@@ -96,11 +100,14 @@ def time_reference(pulse_arrays_host, omega, spectrum, n_pulses=2):
 
     global _basis_np
     infid0 = build_and_eval(1.0)  # warm caches/imports
-    t0 = time.perf_counter()
+    # min over repeats: robust against host-load spikes (the reference
+    # cannot run faster than its true speed, only slower)
+    times = []
     for i in range(n_pulses):
+        t0 = time.perf_counter()
         build_and_eval(1.0 + 1e-3 * i)
-    elapsed = time.perf_counter() - t0
-    return elapsed / n_pulses, np.asarray(infid0)
+        times.append(time.perf_counter() - t0)
+    return min(times), np.asarray(infid0)
 
 
 def main():
