@@ -99,9 +99,9 @@ def batched_infidelity(p: PulseArrays, spectrum: jnp.ndarray,
     batch = p.c_coeffs.shape[0]
     if chunk_size is None or chunk_size >= batch:
         return jax.vmap(single)(p.c_coeffs, p.n_coeffs, p.dt)
-    if batch % chunk_size:
-        raise ValueError(f'chunk_size {chunk_size} must divide batch '
-                         f'{batch}')
+    if chunk_size < 1 or batch % chunk_size:
+        raise ValueError(f'chunk_size {chunk_size} must be positive and '
+                         f'divide batch {batch}')
 
     def chunked(args):
         return jax.vmap(single)(*args)

@@ -84,12 +84,25 @@ def optimize_pulse(p: functional.PulseArrays, spectrum, omega,
     if optimizer is None:
         optimizer = optax.adam(learning_rate)
 
+    batched = np.ndim(p.c_coeffs) == 3
+    if batched:
+        # only c_coeffs needs a batch axis from the caller; broadcast
+        # shared n_coeffs / dt to match
+        n_batch = np.shape(p.c_coeffs)[0]
+        n_coeffs = jnp.asarray(p.n_coeffs)
+        dt = jnp.asarray(p.dt)
+        if n_coeffs.ndim == 2:
+            n_coeffs = jnp.broadcast_to(n_coeffs,
+                                        (n_batch,) + n_coeffs.shape)
+        if dt.ndim == 1:
+            dt = jnp.broadcast_to(dt, (n_batch,) + dt.shape)
+        p = p._replace(n_coeffs=n_coeffs, dt=dt)
+
     if mesh is not None:
         def put_batch(a):
             return jax.device_put(
                 jnp.asarray(a),
                 NamedSharding(mesh, P('batch', *([None] * (a.ndim - 1)))))
-        batched = np.ndim(p.c_coeffs) == 3
         place = put_batch if batched else functools.partial(
             _replicate, mesh=mesh)
         p = functional.PulseArrays(

@@ -19,6 +19,7 @@ from .cplx import C
 try:
     import matplotlib
     import matplotlib.pyplot as plt
+    from matplotlib import collections as mcollections
     from matplotlib import colors, lines
 except ImportError as err:
     raise ImportError('matplotlib is required for the plotting module: '
@@ -246,10 +247,17 @@ def plot_cumulant_function(
         k = k[None]
     n_panels = k.shape[0]
     if grid is None:
-        fig, grid = plt.subplots(1, n_panels, squeeze=False,
-                                 subplot_kw=subplot_kw,
-                                 gridspec_kw=gridspec_kw, **figure_kw)
-        grid = grid[0]
+        if grid_kw:
+            from mpl_toolkits.axes_grid1 import ImageGrid
+            fig = plt.figure(**figure_kw)
+            grid = np.asarray(ImageGrid(fig, 111,
+                                        nrows_ncols=(1, n_panels),
+                                        **grid_kw))
+        else:
+            fig, grid = plt.subplots(1, n_panels, squeeze=False,
+                                     subplot_kw=subplot_kw,
+                                     gridspec_kw=gridspec_kw, **figure_kw)
+            grid = grid[0]
     else:
         fig = grid[0].get_figure()
 
@@ -279,47 +287,58 @@ def plot_cumulant_function(
 
 
 def plot_bloch_vector_evolution(pulse, psi0=None, b=None, n_samples=None,
-                                cmap=None, add_cbar: bool = False,
+                                cmap='winter', add_cbar: bool = False,
                                 show: bool = True, return_Bloch:
                                 bool = False, cbar_kwargs=None, **bloch_kw):
     """Plot the Bloch-vector trajectory of a qubit state under *pulse*
-    (plotting.py equivalent; requires qutip)."""
+    as a single time-colored 3d line collection
+    (plotting.py:155-270 equivalent; requires qutip)."""
     if not _HAS_QUTIP:
         raise RuntimeError('Requires qutip.')
     if pulse.d != 2:
         raise ValueError('Plotting Bloch vector evolution only implemented '
                          'for single-qubit pulses!')
-    if psi0 is None:
-        psi0 = np.array([[1.], [0.]])
-    psi0 = np.asarray(psi0.full() if hasattr(psi0, 'full') else psi0,
-                      dtype=complex).reshape(2, 1)
+    figsize = bloch_kw.pop('figsize', (5, 5))
+    view = bloch_kw.pop('view', [-60, 30])
+    if b is None:
+        fig = plt.figure(figsize=figsize)
+        axes = fig.add_subplot(projection='3d', azim=view[0],
+                               elev=view[1])
+        b = init_bloch_sphere(fig=fig, axes=axes, **bloch_kw)
+    else:
+        if b.fig is None:
+            b.fig = plt.figure(figsize=figsize)
+        if b.axes is None:
+            b.axes = b.fig.add_subplot(projection='3d', azim=view[0],
+                                       elev=view[1])
+    if show:
+        # the sphere must exist before the line collection is added,
+        # else make_sphere() would clear it again
+        b.make_sphere()
+
     if n_samples is None:
-        n_samples = min(5000, max(1000, int(50 * len(pulse.dt))))
+        n_samples = min(5000, max(
+            10 * int(pulse.tau / pulse.dt.min()), 100))
     t = np.linspace(0, float(pulse.tau), n_samples)
     propagators = _np(pulse.propagator_at_arb_t(t))
     vectors = get_bloch_vector(get_states_from_prop(propagators, psi0))
-    bloch = b or init_bloch_sphere(**bloch_kw)
-    if cmap is not None:
-        # time-colored trajectory: one line segment per sample pair
-        cmap_obj = plt.get_cmap(cmap) if isinstance(cmap, str) else cmap
-        seg_colors = cmap_obj(np.linspace(0, 1, n_samples - 1))
-        for i in range(n_samples - 1):
-            bloch.add_points(vectors[:, i:i + 2], meth='l',
-                             colors=[seg_colors[i]])
-    else:
-        bloch.add_points(vectors, meth='l')
+    # qutip sphere convention: -x at +y, +y at +x
+    vectors = np.stack([vectors[1], -vectors[0], vectors[2]])
+
+    points = vectors.T.reshape(-1, 1, 3)
+    segments = np.concatenate([points[:-1], points[1:]], axis=1)
+    cmap_obj = plt.get_cmap(cmap) if isinstance(cmap, str) else cmap
+    lc = mcollections.LineCollection(
+        segments[:, :, :2], colors=cmap_obj(np.linspace(0, 1,
+                                                        n_samples - 1)),
+        alpha=0.75)
+    b.axes.add_collection3d(lc, zdir='z', zs=segments[:, :, 2])
+
     if add_cbar:
-        kw = dict(cbar_kwargs or {})
-        shrink = kw.pop('shrink', 2 / 3)
-        pad = kw.pop('pad', 0.05)
-        label = kw.pop('label', '$t$ ($\\tau$)')
-        cmap_obj = (plt.get_cmap(cmap or 'viridis')
-                    if not hasattr(cmap, 'N') else cmap)
-        mappable = plt.cm.ScalarMappable(
-            norm=colors.Normalize(0, 1), cmap=cmap_obj)
-        bloch.fig.colorbar(mappable, ax=bloch.axes, shrink=shrink,
-                           pad=pad, label=label, **kw)
-    if show:
-        bloch.make_sphere()
+        kw = dict(shrink=2 / 3, pad=0.05, label=r'$t$ ($\tau$)',
+                  ticks=[0, 1], ax=b.axes)
+        kw.update(cbar_kwargs or {})
+        b.fig.colorbar(plt.cm.ScalarMappable(
+            norm=colors.Normalize(0, 1), cmap=cmap_obj), **kw)
     if return_Bloch:
-        return bloch
+        return b

@@ -175,5 +175,24 @@ def test_batched_infidelity_chunked_matches_vmap():
     chunked = functional.batched_infidelity(pb, spectrum, omega,
                                             chunk_size=2)
     assert_allclose(np.asarray(chunked), np.asarray(full), atol=1e-15)
-    with pytest.raises(ValueError):
-        functional.batched_infidelity(pb, spectrum, omega, chunk_size=4)
+    for bad in (4, 0, -2):
+        with pytest.raises(ValueError):
+            functional.batched_infidelity(pb, spectrum, omega,
+                                          chunk_size=bad)
+
+
+def test_optimize_pulse_batched_coeffs_only():
+    """Docstring contract: only c_coeffs needs the batch axis; shared
+    n_coeffs/dt are broadcast internally."""
+    pulse = rand_pulse_sequence(2, 3)
+    p = functional.make_pulse_arrays(pulse)
+    batch = 3
+    c0 = jnp.asarray(p.c_coeffs)[None] * jnp.linspace(
+        0.9, 1.1, batch)[:, None, None]
+    pb = p._replace(c_coeffs=c0)
+    omega = jnp.linspace(0.5, 10, 16)
+    res = parallel.optimize_pulse(pb, 1e-2 / omega, omega, n_steps=10,
+                                  learning_rate=5e-2)
+    assert res.c_coeffs.shape == c0.shape
+    assert res.infidelity.shape == (batch,)
+    assert float(res.history[-1]) < float(res.history[0])
