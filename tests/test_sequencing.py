@@ -72,12 +72,16 @@ class TestConcatenation:
         """Pulses with different noise operators: missing ones computed
         from scratch during concatenation."""
         omega = np.linspace(0.5, 10, 19)
-        a1 = rand_pulse_arrays(2, 3, n_nops=2)
-        a2 = rand_pulse_arrays(2, 4, n_nops=2)
+        local = np.random.default_rng(11)
+        a1 = rand_pulse_arrays(2, 3, n_nops=2, local_rng=local)
+        a2 = rand_pulse_arrays(2, 4, n_nops=2, local_rng=local)
         # share one noise oper/identifier; constant sensitivities so the
-        # missing ones can be inferred on the other pulse's segments
+        # missing ones can be inferred on the other pulse's segments.
+        # Deterministic identifiers: random draws can collide with the
+        # other pulse's second identifier and break construction.
+        a1[4][:] = ['a', 'b']
+        a2[4][:] = ['a', 'c']
         a2[3][0] = a1[3][0]
-        a2[4][0] = a1[4][0]
         a1[5][:] = a1[5][:, :1]
         a2[5][:] = a2[5][:, :1]
         a2[5][0] = a1[5][0][0]
