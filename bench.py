@@ -80,7 +80,7 @@ def time_ours(batched, omega, spectrum, iters=5):
     return min(times) / BATCH, np.asarray(out)
 
 
-def time_reference(pulse_arrays_host, omega, spectrum, n_pulses=2):
+def time_reference(pulse_arrays_host, omega, spectrum, n_pulses=3):
     """Time the reference NumPy package on the same pulses (host CPU).
     Returns (seconds_per_pulse, infidelities of the unperturbed pulse)."""
     sys.path.insert(0, str(REPO / 'tests'))

@@ -23,10 +23,10 @@ The slice width therefore adapts to the reduction depth:
 ``slice_bits = (24 - ceil(log2 K)) // 2`` (8 bits up to K = 256, 6
 bits up to K = 4096, ...).  ``precision_bits`` selects the truncation
 level L: the neglected pairs contribute < 2^-precision_bits relative
-to the row*column magnitude.  36 bits (~1.5e-11 truncation, measured
-infidelity parity ~1e-13 after integral averaging) is the default --
-still >100x inside the 1e-10 parity budget; 42 bits costs ~25% more
-MXU products for ~2 extra digits.
+to the row*column magnitude.  30 bits is the default: measured
+infidelity parity vs the reference is ~5e-13 after integral averaging
+(200x inside the 1e-10 parity budget) at 15 slice-pair products per
+matmul; 36/42 bits trade ~40%/90% more MXU products for 2/4 digits.
 """
 from __future__ import annotations
 
@@ -43,7 +43,7 @@ import os
 __all__ = ['ozaki_matmul', 'DEFAULT_PRECISION_BITS']
 
 #: Truncation level; override with FF_TPU_OZAKI_BITS.
-DEFAULT_PRECISION_BITS = int(os.environ.get('FF_TPU_OZAKI_BITS', '36'))
+DEFAULT_PRECISION_BITS = int(os.environ.get('FF_TPU_OZAKI_BITS', '30'))
 #: f32 accumulator mantissa budget.
 _ACC_BITS = 24
 #: bf16 holds integers up to 2^8 exactly.

@@ -190,7 +190,8 @@ class TestOzaki:
     """ops.ozaki: accuracy, K-adaptivity, batching, gradients."""
 
     def test_accuracy(self):
-        from filter_functions_tpu.ops.ozaki import ozaki_matmul
+        from filter_functions_tpu.ops.ozaki import (DEFAULT_PRECISION_BITS,
+                                                    ozaki_matmul)
         for (m, k, n) in [(32, 64, 16), (20, 300, 10), (8, 4000, 8)]:
             a = rng.standard_normal((m, k)) \
                 * np.exp(rng.standard_normal((m, 1)) * 4)
@@ -200,7 +201,7 @@ class TestOzaki:
             # default truncation (36-bit): ~2^-36 of row*col magnitude
             got = np.asarray(ozaki_matmul(jnp.asarray(a), jnp.asarray(b)))
             rel = np.abs(got - want).max() / np.abs(want).max()
-            assert rel < 2**-36 * 16, (k, rel)
+            assert rel < 2**-DEFAULT_PRECISION_BITS * 16, (k, rel)
             # explicit high precision tightens accordingly
             got48 = np.asarray(ozaki_matmul(jnp.asarray(a), jnp.asarray(b),
                                             48))
@@ -208,23 +209,26 @@ class TestOzaki:
             assert rel48 < 1e-13, (k, rel48)
 
     def test_batched(self):
-        from filter_functions_tpu.ops.ozaki import ozaki_matmul
+        from filter_functions_tpu.ops.ozaki import (DEFAULT_PRECISION_BITS,
+                                                    ozaki_matmul)
         a = rng.standard_normal((4, 10, 128))
         b = rng.standard_normal((4, 128, 6))
         got = np.asarray(ozaki_matmul(jnp.asarray(a), jnp.asarray(b)))
         # truncation is relative to the row*col magnitude, so elements
         # that cancel need a magnitude-scaled atol
+        tol = 2**-DEFAULT_PRECISION_BITS * 16
         scale = (np.abs(a) @ np.abs(b)).max()
-        assert_allclose(got, a @ b, rtol=2**-36 * 16,
-                        atol=2**-36 * 16 * scale)
+        assert_allclose(got, a @ b, rtol=tol, atol=tol * scale)
 
     def test_gradients(self):
-        from filter_functions_tpu.ops.ozaki import ozaki_matmul
+        from filter_functions_tpu.ops.ozaki import (DEFAULT_PRECISION_BITS,
+                                                    ozaki_matmul)
         a = jnp.asarray(rng.standard_normal((6, 12)))
         b = jnp.asarray(rng.standard_normal((12, 5)))
         g = jax.grad(lambda a: (ozaki_matmul(a, b)**2).sum())(a)
         want = 2 * (np.asarray(a) @ np.asarray(b)) @ np.asarray(b).T
-        assert_allclose(np.asarray(g), want, rtol=2**-36 * 64, atol=1e-10)
+        assert_allclose(np.asarray(g), want,
+                        rtol=2**-DEFAULT_PRECISION_BITS * 64, atol=1e-9)
 
     def test_contraction_mode_equivalence(self):
         """The ozaki control-matrix path equals the native einsum."""
