@@ -13,8 +13,8 @@ A from-scratch rebuild of the capabilities of qutech/filter_functions
 * frequency-axis/batch sharding over device meshes lives in
   :mod:`.parallel`.
 """
-from . import (analytic, basis, cplx, gradient, numeric, pulse_sequence,
-               superoperator, types, util)
+from . import (analytic, basis, config, cplx, functional, gradient, models,
+               numeric, parallel, pulse_sequence, superoperator, types, util)
 from .basis import Basis
 from .gradient import infidelity_derivative
 from .numeric import error_transfer_matrix, infidelity
@@ -27,7 +27,8 @@ from .superoperator import liouville_representation
 __all__ = ['Basis', 'PulseSequence', 'concatenate', 'concatenate_periodic',
            'error_transfer_matrix', 'extend', 'infidelity',
            'liouville_representation', 'remap', 'infidelity_derivative',
-           'analytic', 'basis', 'cplx', 'gradient', 'numeric',
-           'pulse_sequence', 'superoperator', 'types', 'util']
+           'analytic', 'basis', 'config', 'cplx', 'functional', 'gradient',
+           'models', 'numeric', 'parallel', 'pulse_sequence',
+           'superoperator', 'types', 'util']
 
 __version__ = '0.1.0'
