@@ -8,7 +8,10 @@
 * :mod:`.rb` -- single-qubit Clifford pulses and randomized
   benchmarking sequence sampling
   (cf. /root/reference/examples/randomized_benchmarking.py).
+* :mod:`.exchange` -- exchange-coupled spin-qubit chains, the Dial
+  1/f^alpha charge-noise spectrum, and the published 4-spin CNOT pulse
+  (cf. /root/reference/examples/data/CNOT.mat).
 """
-from . import dd, qft, rb
+from . import dd, exchange, qft, rb
 
-__all__ = ['dd', 'qft', 'rb']
+__all__ = ['dd', 'exchange', 'qft', 'rb']

@@ -5,6 +5,7 @@ import pytest
 import filter_functions_tpu as ff
 from filter_functions_tpu import analytic, util
 from filter_functions_tpu.models import dd, qft, rb
+from conftest import HAVE_REFERENCE
 from testutil import assert_allclose, rng, to_np
 
 
@@ -98,3 +99,45 @@ class TestRB:
             seq.basis)
         scratch = to_np(fresh.get_filter_function(omega))
         assert_allclose(cached, scratch, atol=1e-11)
+
+
+@pytest.mark.skipif(not HAVE_REFERENCE, reason='needs golden data')
+class TestExchange:
+    def test_cnot_pulse_golden_infidelity(self):
+        """models.exchange reproduces the MATLAB golden infidelities."""
+        from filter_functions_tpu.models import exchange
+        from testutil import cnot_data
+        pulse = exchange.cnot_pulse()
+        pulse.basis = exchange.qubit_subspace_basis()
+        pulse.d = 4
+        data = cnot_data()
+        omega = np.geomspace(1 / pulse.tau, 1e2, 250)
+        for amp, alpha, golden in zip(data['amp'], data['alpha'],
+                                      data['infid_fast']):
+            spectrum = amp / omega**alpha
+            infid = np.asarray(ff.infidelity(
+                pulse, spectrum, omega, ['eps_12', 'eps_23', 'eps_34']))
+            assert abs(1 - infid.sum() / golden) <= 0.10
+
+    def test_heisenberg_operators(self):
+        from filter_functions_tpu.models import exchange
+        ex, grad = exchange.heisenberg_operators(3)
+        assert ex.shape == (2, 8, 8) and grad.shape == (2, 8, 8)
+        # all terms commute with total S_z
+        Z = np.diag([1., -1.])
+        sz = np.zeros((8, 8))
+        for j in range(3):
+            acc = np.ones((1, 1))
+            for k in range(3):
+                acc = np.kron(acc, Z if k == j else np.eye(2))
+            sz += acc
+        for op in (*ex, *grad):
+            assert np.allclose(op @ sz - sz @ op, 0, atol=1e-12)
+
+    def test_dial_spectrum(self):
+        from filter_functions_tpu.models import exchange
+        w = np.geomspace(0.1, 10, 5)
+        s = exchange.dial_spectrum(w, alpha=0.7)
+        assert np.all(np.diff(s) < 0)
+        assert np.allclose(exchange.dial_spectrum(w, alpha=0.0),
+                           exchange.dial_spectrum(1.0, alpha=0.0))
