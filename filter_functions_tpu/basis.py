@@ -438,9 +438,25 @@ def expand(M, basis, normalized: bool = True, hermitian: bool = False,
     if isinstance(M, C):
         coeffs = util.ceinsum('...ab,jba->...j', M, b)
         if not normalized:
-            coeffs = coeffs / np.einsum('jab,jba->j', b, b).real
+            norm = np.einsum('jab,jba->j', b, b)   # complex for
+            if isherm_basis:                       # non-hermitian bases
+                norm = norm.real
+                coeffs = coeffs / norm
+            else:
+                coeffs = coeffs / C(jnp.asarray(norm.real),
+                                    jnp.asarray(norm.imag))
         if hermitian and isherm_basis:
-            return coeffs.re
+            coeffs = coeffs.re
+            if tidyup:
+                atol = np.finfo(float).eps * b.shape[-1]**3
+                coeffs = jnp.where(jnp.abs(coeffs) <= atol, 0.0, coeffs)
+            return coeffs
+        if tidyup:
+            atol = np.finfo(float).eps * b.shape[-1]**3
+            coeffs = C(jnp.where(jnp.abs(coeffs.re) <= atol, 0.0,
+                                 coeffs.re),
+                       jnp.where(jnp.abs(coeffs.im) <= atol, 0.0,
+                                 coeffs.im))
         return coeffs
 
     M = np.asarray(M)

@@ -135,6 +135,11 @@ def qubit_subspace_basis() -> Basis:
     basis in which the published CNOT infidelities are evaluated (the
     two extra levels are leakage states outside the computational
     subspace).  Use with ``pulse.d = 4`` to normalize infidelities to
-    the computational subspace, as in the reference example."""
+    the computational subspace, as in the reference example.
+
+    btype is 'Custom': the padded set is neither complete nor a 4^n
+    Pauli basis of dimension 2^n, so Pauli-specific index machinery
+    (``pauli_mult_table``, ``extend``/``remap`` separability) must not
+    dispatch on it."""
     return Basis([np.pad(b, 1, 'constant')
-                  for b in Basis.pauli(2)[1:]], btype='Pauli')
+                  for b in Basis.pauli(2)[1:]], btype='Custom')

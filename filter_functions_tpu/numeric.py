@@ -337,7 +337,8 @@ def _ctrlmat_contract(n_opers_transformed, integral, basis_transformed,
         G, d * d, n_nops * n_basis)
 
     # Fold the segment sum into the reduction axis: one matmul with
-    # K = G * d^2 (Ozaki chunks the reduction in exact 256-deep tiles).
+    # K = G * d^2 (ozaki_matmul adapts its slice width to K and splits
+    # reductions deeper than 2^16 into exact sub-reductions).
     p_big = p_mat._map(
         lambda x: x.transpose(1, 0, 2).reshape(n_w, G * d * d))
     d_big = d_mat.reshape(G * d * d, n_nops * n_basis)

@@ -85,16 +85,37 @@ def ozaki_matmul(a: jnp.ndarray, b: jnp.ndarray,
     return _ozaki_matmul_impl(a, b, precision_bits)
 
 
+#: Deepest reduction handled in one pass (slice_bits = 4); deeper
+#: contractions are split into exact sub-reductions summed in f64.
+_MAX_K = 2**(_ACC_BITS - 2 * 4)
+
+
 @functools.partial(jax.jit, static_argnames=('precision_bits',))
 def _ozaki_matmul_impl(a: jnp.ndarray, b: jnp.ndarray,
                        precision_bits: int = DEFAULT_PRECISION_BITS
                        ) -> jnp.ndarray:
     K = a.shape[-1]
+    if K > _MAX_K:
+        # Chunk the reduction axis: each chunk's slice products stay
+        # exact in the f32 accumulator; the cross-chunk sum runs in
+        # f64, so accuracy is unchanged.
+        n_chunks = -(-K // _MAX_K)
+        pad = n_chunks * _MAX_K - K
+        a_c = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
+        b_c = jnp.pad(b, [(0, 0)] * (b.ndim - 2) + [(0, pad), (0, 0)])
+        a_c = jnp.moveaxis(
+            a_c.reshape(a.shape[:-1] + (n_chunks, _MAX_K)), -2, 0)
+        b_c = jnp.moveaxis(
+            b_c.reshape(b.shape[:-2] + (n_chunks, _MAX_K, b.shape[-1])),
+            -3, 0)
+        out = None
+        for c in range(n_chunks):
+            term = _ozaki_matmul_impl(a_c[c], b_c[c], precision_bits)
+            out = term if out is None else out + term
+        return out
+
     slice_bits = min(_MAX_SLICE_BITS,
                      (_ACC_BITS - math.ceil(math.log2(max(K, 2)))) // 2)
-    if slice_bits < 4:
-        raise ValueError(f'Reduction depth K={K} too deep for exact f32 '
-                         'accumulation; split the contraction.')
     max_level = max(1, -(-precision_bits // slice_bits) - 1)
     n_slices = max_level + 1
 

@@ -90,6 +90,7 @@ def sharded_infidelity(p: functional.PulseArrays, spectrum, omega,
 # -----------------------------------------------------------------------------
 # GRAPE-style optimal-control training step (batch + omega sharded)
 # -----------------------------------------------------------------------------
+@functools.lru_cache(maxsize=8)
 def make_grape_step(learning_rate: float = 1e-2):
     """A jitted gradient-descent step on a batch of pulses: loss is the
     summed leading-order infidelity; gradients flow through

@@ -72,17 +72,26 @@ def _concatenate_hamiltonian(opers, identifiers, coeffs, kind: str):
 
     mapping = {p: {ident: ident for ident in identifiers[p]}
                for p in range(len(opers))}
+    hashes_arr = np.asarray(oper_hashes)
     for ident, hashes in id_to_opers.items():
         if len(hashes) > 1:
             # identifier used for different operators: disambiguate by
-            # pulse position suffix
+            # the position of the first pulse carrying each operator
             for h in hashes:
                 flat_pos = oper_hashes.index(h)
                 pulse_pos = bisect.bisect(pulse_bounds, flat_pos)
                 uniq_pos = uniq_hashes.index(h)
                 new_ident = f'{uniq_identifiers[uniq_pos]}_{pulse_pos}'
                 uniq_identifiers[uniq_pos] = new_ident
-                mapping[pulse_pos][ident] = new_ident
+                # update the mapping of EVERY pulse carrying this
+                # (identifier, operator) pair, not just the first one
+                # (the reference updates only the first,
+                # pulse_sequence.py:1440-1443, which leaves stale
+                # mappings when 3+ pulses are involved)
+                for fp in (hashes_arr == h).nonzero()[0]:
+                    if all_identifiers[fp] == ident:
+                        p = bisect.bisect(pulse_bounds, int(fp))
+                        mapping[p][ident] = new_ident
 
     sort_idx = np.argsort(uniq_identifiers)
     concat_opers = all_opers[first_idx[sort_idx]]
@@ -180,14 +189,24 @@ def concatenate(pulses: Iterable[PulseSequence],
     if calc_filter_function is False:
         return newpulse
 
-    # which noise opers are present in which pulse (post-remapping)
-    pulse_identifiers = [sorted(mapping.values())
-                         for _, mapping in sorted(n_oper_mapping.items())]
-    unique_identifiers = sorted({i for ids in pulse_identifiers
-                                 for i in ids})
-    n_opers_present = np.array(
-        [[ident in ids for ident in unique_identifiers]
-         for ids in pulse_identifiers])
+    # which noise opers are present in which pulse (post-remapping).
+    # pulse_rows[i][j] is the row of the merged (identifier-sorted)
+    # noise-operator set that row j of pulse i's control matrix (in the
+    # pulse's own identifier-sorted order) maps to -- identifier-clash
+    # renaming can permute the relative order, so cached rows must be
+    # scattered by position, not by boolean mask.
+    unique_identifiers = sorted({new for mapping in n_oper_mapping.values()
+                                 for new in mapping.values()})
+    pulse_rows = []
+    for i, pulse in enumerate(pulses):
+        mapping = n_oper_mapping[i]
+        pulse_rows.append(np.array(
+            [unique_identifiers.index(mapping[old])
+             for old in pulse.n_oper_identifiers]))
+    n_opers_present = np.zeros((len(pulses), len(unique_identifiers)),
+                               dtype=bool)
+    for i, rows in enumerate(pulse_rows):
+        n_opers_present[i, rows] = True
 
     if calc_second_order_FF and not n_opers_present.all():
         warn('Second order FF requested but not all pulses have the same '
@@ -247,8 +266,10 @@ def concatenate(pulses: Iterable[PulseSequence],
     n_w = len(np.asarray(omega))
     n_basis = len(newpulse.basis)
     seg_bounds = [0] + list(accumulate(len(p.dt) for p in pulses))
-    all_present = n_opers_present.all()
-    if all_present:
+    identity_rows = all(
+        np.array_equal(rows, np.arange(n_nops_new))
+        for rows in pulse_rows)
+    if identity_rows:
         # common fast path: stack cached device arrays directly
         ctrls = [pulse.get_control_matrix(omega, show_progressbar)
                  for pulse in pulses]
@@ -256,22 +277,22 @@ def concatenate(pulses: Iterable[PulseSequence],
     else:
         atomic_re = np.zeros((len(pulses), n_nops_new, n_basis, n_w))
         atomic_im = np.zeros_like(atomic_re)
-        for i, (pulse, present) in enumerate(zip(pulses,
-                                                 n_opers_present)):
+        for i, (pulse, rows) in enumerate(zip(pulses, pulse_rows)):
             ctrl = pulse.get_control_matrix(omega, show_progressbar)
-            atomic_re[i, present] = np.asarray(ctrl.re)
-            atomic_im[i, present] = np.asarray(ctrl.im)
-            missing = ~present
-            extra = numeric.calculate_control_matrix_from_scratch(
-                pulse.eigvals, pulse.eigvecs, pulse.propagators,
-                jnp.asarray(omega), pulse.basis,
-                asc(newpulse.n_opers[missing]),
-                newpulse.n_coeffs[missing,
-                                  seg_bounds[i]:seg_bounds[i + 1]],
-                pulse.dt, t=jnp.asarray(pulse.t),
-                show_progressbar=show_progressbar)
-            atomic_re[i, missing] = np.asarray(extra.re)
-            atomic_im[i, missing] = np.asarray(extra.im)
+            atomic_re[i, rows] = np.asarray(ctrl.re)
+            atomic_im[i, rows] = np.asarray(ctrl.im)
+            missing = ~n_opers_present[i]
+            if missing.any():
+                extra = numeric.calculate_control_matrix_from_scratch(
+                    pulse.eigvals, pulse.eigvecs, pulse.propagators,
+                    jnp.asarray(omega), pulse.basis,
+                    asc(newpulse.n_opers[missing]),
+                    newpulse.n_coeffs[missing,
+                                      seg_bounds[i]:seg_bounds[i + 1]],
+                    pulse.dt, t=jnp.asarray(pulse.t),
+                    show_progressbar=show_progressbar)
+                atomic_re[i, missing] = np.asarray(extra.re)
+                atomic_im[i, missing] = np.asarray(extra.im)
         control_matrix_atomic = C(jnp.asarray(atomic_re),
                                   jnp.asarray(atomic_im))
 

@@ -29,7 +29,8 @@ def liouville_representation(U, basis: _b.Basis):
     U = asc(U)
     conjugated = ceinsum('...ba,ibc,...cd->...iad', U.conj(),
                          basis.dev, U)
-    coeffs = _b.expand(conjugated, basis, hermitian=basis.isherm)
+    coeffs = _b.expand(conjugated, basis, normalized=basis.isnorm,
+                       hermitian=basis.isherm)
     return coeffs
 
 
@@ -44,8 +45,6 @@ def liouville_to_choi(superoperator, basis: _b.Basis) -> C:
     shape = choi.shape
     d2 = shape[-4] * shape[-3]
     out_shape = shape[:-4] + (d2, d2)
-    if isinstance(choi, C):
-        return choi.reshape(out_shape)
     return choi.reshape(out_shape)
 
 

@@ -332,3 +332,74 @@ class TestGeneralizedPulseCorrelation:
         gen = to_np(c.get_pulse_correlation_filter_function('generalized'))
         fid = to_np(c.get_pulse_correlation_filter_function('fidelity'))
         assert_allclose(np.trace(gen, axis1=4, axis2=5), fid, atol=1e-13)
+
+
+class TestIdentifierClashCorrectness:
+    """Regression tests: identifier-clash renaming must keep cached
+    control-matrix rows attached to the right operators (the reference
+    has both of these as latent flaws)."""
+
+    def test_rename_reorders_rows(self):
+        """Renaming 'a' -> 'a_0'/'a_1' sorts after 'a0' ('0' < '_'),
+        permuting row order vs the cached pulses."""
+        omega = np.linspace(0.5, 5, 9)
+        X, Y, Z = sigma[1], sigma[2], sigma[3]
+        rng_l = np.random.default_rng(5)
+        p0 = ff.PulseSequence(
+            [[X, rng_l.standard_normal(2), 'c']],
+            [[X, [1.0, 1.0], 'a'], [Y, [0.5, 0.5], 'a0']],
+            [0.5, 0.6])
+        p1 = ff.PulseSequence(
+            [[X, rng_l.standard_normal(2), 'c']],
+            [[Z, [1.0, 1.0], 'a'], [Y, [0.5, 0.5], 'a0']],
+            [0.4, 0.7])
+        p0.cache_filter_function(omega)
+        p1.cache_filter_function(omega)
+        got = to_np(ff.concatenate([p0, p1]).get_filter_function(omega))
+        scratch = ff.concatenate_without_filter_function([p0, p1])
+        want = to_np(scratch.get_filter_function(omega))
+        assert_allclose(got, want, atol=1e-12)
+
+    def test_three_pulse_shared_clash(self):
+        """Pulses 0 and 1 share oper X named 'a'; pulse 2 names a
+        different oper 'a'. All mappings must be updated, not just the
+        first pulse's."""
+        omega = np.linspace(0.5, 5, 9)
+        X, Y, Z = sigma[1], sigma[2], sigma[3]
+        rng_l = np.random.default_rng(6)
+        pulses = []
+        for nop in (X, X, Z):
+            p = ff.PulseSequence(
+                [[X, rng_l.standard_normal(2), 'c']],
+                [[nop, [1.0, 1.0], 'a'], [Y, [0.5, 0.5], 'b']],
+                [0.5, 0.5])
+            p.cache_filter_function(omega)
+            pulses.append(p)
+        got = to_np(ff.concatenate(pulses).get_filter_function(omega))
+        scratch = ff.concatenate_without_filter_function(pulses)
+        want = to_np(scratch.get_filter_function(omega))
+        assert_allclose(got, want, atol=1e-12)
+
+
+class TestDeepReduction:
+    def test_long_pulse_ozaki_path(self, monkeypatch):
+        """G d^2 > 2^16 exercises the chunked Ozaki reduction."""
+        monkeypatch.setenv('FF_TPU_CONTRACT', 'ozaki')
+        rng_l = np.random.default_rng(7)
+        X, Z = sigma[1], sigma[3]
+        G = 16500   # K = 4 G = 66000 > 65536
+        p = ff.PulseSequence([[X / 2, rng_l.standard_normal(G), 'X']],
+                             [[Z / 2, np.ones(G), 'Z']],
+                             np.full(G, 1.0 / G))
+        omega = np.linspace(0.5, 5, 5)
+        got = to_np(p.get_control_matrix(omega))
+        monkeypatch.delenv('FF_TPU_CONTRACT')
+        p2 = ff.PulseSequence([[X / 2, p.c_coeffs[0], 'X']],
+                              [[Z / 2, np.ones(G), 'Z']], p.dt)
+        import filter_functions_tpu.numeric as numeric_mod
+        # clear the jit caches so the native mode is actually retraced
+        numeric_mod._ctrlmat_scratch_cached.clear_cache()
+        numeric_mod._ctrlmat_scratch_scan.clear_cache()
+        want = to_np(p2.get_control_matrix(omega))
+        rel = np.abs(got - want).max() / np.abs(want).max()
+        assert rel < 1e-8
