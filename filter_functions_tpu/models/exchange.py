@@ -16,7 +16,7 @@ import numpy as np
 
 from ..basis import Basis
 from ..pulse_sequence import PulseSequence
-from ..util import paulis
+from ..util import paulis, tensor
 
 __all__ = ['heisenberg_operators', 'dial_spectrum', 'cnot_pulse',
            'qubit_subspace_basis', 'CNOT_SUBSPACE']
@@ -27,10 +27,7 @@ CNOT_SUBSPACE = (3, 5, 6, 9, 10, 12)
 
 
 def _kron_chain(ops: Sequence[np.ndarray]) -> np.ndarray:
-    out = np.ones((1, 1), complex)
-    for op in ops:
-        out = np.kron(out, op)
-    return out
+    return np.asarray(tensor(*ops))
 
 
 def heisenberg_operators(n_spins: int) -> Tuple[np.ndarray, np.ndarray]:

@@ -91,14 +91,12 @@ def _first_order_integral_batched(omega: jnp.ndarray, eigvals: jnp.ndarray,
     table cost, so the phase is factored: with x = (omega + Omega) dt,
     sin/cos(x) come from the angle-addition of e^{i omega dt} (one
     (..., n_w) table) and e^{i Omega dt} (one (..., d, d) table) --
-    O(n_w + d^2) sins instead of O(n_w d^2).  The product form loses
-    relative accuracy only where x -> 0 through cancellation; there a
-    Taylor branch (|x| < 0.05, relative error < 1e-16) takes over, so
-    absolute accuracy stays at the 1e-16 dt scale everywhere.
+    O(n_w + d^2) sins instead of O(n_w d^2).  I = -i frac(phi) with
+    frac handled by :func:`_frac_from_trig`.
     """
     dE = eigvals[..., :, None] - eigvals[..., None, :]   # (..., d, d)
     dt_b = dt[..., None, None, None]
-    x = (omega[:, None, None] + dE[..., None, :, :]) * dt_b
+    phi = omega[:, None, None] + dE[..., None, :, :]
 
     a = omega * dt[..., None]                            # (..., n_w)
     sa, ca = jnp.sin(a), jnp.cos(a)
@@ -107,18 +105,27 @@ def _first_order_integral_batched(omega: jnp.ndarray, eigvals: jnp.ndarray,
     sa, ca = sa[..., :, None, None], ca[..., :, None, None]
     sb, cb = sb[..., None, :, :], cb[..., None, :, :]
     sin_x = sa * cb + ca * sb
-    one_minus_cos_x = 1.0 - (ca * cb - sa * sb)
+    cos_x = ca * cb - sa * sb
 
-    small = jnp.abs(x) < 0.05
-    inv_phi = dt_b / jnp.where(small, 1.0, x)            # 1/(omega+Omega)
-    x2 = x * x
-    re_taylor = dt_b * (1.0 + x2 * (-1.0 / 6.0 + x2 * (
-        1.0 / 120.0 + x2 * (-1.0 / 5040.0))))
-    im_taylor = dt_b * x * (0.5 + x2 * (-1.0 / 24.0 + x2 * (
-        1.0 / 720.0 + x2 * (-1.0 / 40320.0))))
-    re = jnp.where(small, re_taylor, sin_x * inv_phi)
-    im = jnp.where(small, im_taylor, one_minus_cos_x * inv_phi)
-    return C(re, im)
+    f = _frac_from_trig(phi, sin_x, cos_x, dt_b)
+    return C(f.im, -f.re)
+
+
+def _frac_from_trig(u, sin_u, cos_u, dt):
+    """frac(u) = (e^{iu dt}-1)/u from precomputed sin/cos(u dt); the
+    Taylor branch for |u dt| < 0.05 (relative error < 1e-16) covers
+    both the u -> 0 limit and the cancellation loss of angle-addition
+    product forms."""
+    w = u * dt
+    small = jnp.abs(w) < 0.05
+    inv_u = 1.0 / jnp.where(small, 1.0, u)
+    w2 = w * w
+    re_t = -dt * w * (0.5 + w2 * (-1.0 / 24.0 + w2 * (
+        1.0 / 720.0 + w2 * (-1.0 / 40320.0))))
+    im_t = dt * (1.0 + w2 * (-1.0 / 6.0 + w2 * (
+        1.0 / 120.0 + w2 * (-1.0 / 5040.0))))
+    return C(jnp.where(small, re_t, (cos_u - 1.0) * inv_u),
+             jnp.where(small, im_t, sin_u * inv_u))
 
 
 def _second_order_integral_single(omega: jnp.ndarray, eigvals: jnp.ndarray,
@@ -145,21 +152,6 @@ def _second_order_integral_single(omega: jnp.ndarray, eigvals: jnp.ndarray,
     y = omega[:, None, None] + dE[None]                 # (o, m, n)
     z = dE[:, :, None, None] + dE[None, None]           # (i, j, m, n)
 
-    def frac_from_trig(u, sin_u, cos_u):
-        """(e^{iu dt}-1)/u from precomputed sin/cos(u dt); Taylor branch
-        for |u dt| < 0.05 covers both the u -> 0 limit and the
-        cancellation loss of the angle-addition product forms."""
-        w = u * dt
-        small = jnp.abs(w) < 0.05
-        inv_u = 1.0 / jnp.where(small, 1.0, u)
-        w2 = w * w
-        re_t = -dt * w * (0.5 + w2 * (-1.0 / 24.0 + w2 * (
-            1.0 / 720.0 + w2 * (-1.0 / 40320.0))))
-        im_t = dt * (1.0 + w2 * (-1.0 / 6.0 + w2 * (
-            1.0 / 120.0 + w2 * (-1.0 / 5040.0))))
-        return C(jnp.where(small, re_t, (cos_u - 1.0) * inv_u),
-                 jnp.where(small, im_t, sin_u * inv_u))
-
     # sin/cos(x dt) by angle addition: x dt = Omega_ij dt - omega dt,
     # so only O(n_omega + d^2) f64 transcendentals (software-emulated
     # on TPU) instead of O(n_omega d^2).
@@ -170,9 +162,10 @@ def _second_order_integral_single(omega: jnp.ndarray, eigvals: jnp.ndarray,
     sin_x = sb * ca + cb * sa
     cos_x = cb * ca - sb * sa
 
-    f_x = frac_from_trig(x, sin_x, cos_x)               # (o, i, j)
+    f_x = _frac_from_trig(x, sin_x, cos_x, dt)          # (o, i, j)
     zdt = z * dt
-    f_z = frac_from_trig(z, jnp.sin(zdt), jnp.cos(zdt))  # (i, j, m, n)
+    f_z = _frac_from_trig(z, jnp.sin(zdt), jnp.cos(zdt),
+                          dt)                           # (i, j, m, n)
     mask_y = (y != 0.0)[:, None, None]                  # (o, 1, 1, m, n)
     # reciprocal once on the small (o, m, n) table; the big
     # (o, i, j, m, n) lattice then only multiplies (f64 divides are

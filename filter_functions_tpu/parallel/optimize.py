@@ -28,7 +28,7 @@ except ImportError:  # pragma: no cover - optax ships with the env
     _HAS_OPTAX = False
 
 from .. import functional
-from .sharding import make_mesh, shard_omega, _replicate
+from .sharding import shard_omega, _replicate
 
 __all__ = ['OptimizationResult', 'optimize_pulse']
 
@@ -115,15 +115,28 @@ def optimize_pulse(p: functional.PulseArrays, spectrum, omega,
         omega = jnp.asarray(omega)
         spectrum = jnp.asarray(spectrum)
 
-    def loss_fn(c_coeffs):
-        total, per_pulse = _total_infidelity(c_coeffs, p, spectrum, omega)
-        if regularizer is not None:
-            total = total + regularizer(c_coeffs)
-        return total, per_pulse
+    # Pulse/spectrum/frequencies are traced arguments (not closure
+    # captures), so repeated optimize_pulse calls with the same
+    # optimizer configuration and shapes reuse one compiled loop.
+    try:
+        run = _make_run(optimizer, regularizer, n_steps)
+    except TypeError:   # unhashable optimizer/regularizer
+        run = _make_run.__wrapped__(optimizer, regularizer, n_steps)
+    c_final, final_infid, history = run(jnp.asarray(p.c_coeffs), p,
+                                        spectrum, omega)
+    return OptimizationResult(c_final, final_infid, history)
 
+
+@functools.lru_cache(maxsize=8)
+def _make_run(optimizer, regularizer, n_steps: int):
     @jax.jit
-    def run(c0):
-        opt_state = optimizer.init(c0)
+    def run(c0, p, spectrum, omega):
+        def loss_fn(c_coeffs):
+            total, per_pulse = _total_infidelity(c_coeffs, p, spectrum,
+                                                 omega)
+            if regularizer is not None:
+                total = total + regularizer(c_coeffs)
+            return total, per_pulse
 
         def step(carry, _):
             c, opt_state = carry
@@ -133,9 +146,8 @@ def optimize_pulse(p: functional.PulseArrays, spectrum, omega,
             return (optax.apply_updates(c, updates), opt_state), loss
 
         (c_final, _), history = jax.lax.scan(
-            step, (c0, opt_state), None, length=n_steps)
+            step, (c0, optimizer.init(c0)), None, length=n_steps)
         _, final_infid = loss_fn(c_final)
         return c_final, final_infid, history
 
-    c_final, final_infid, history = run(jnp.asarray(p.c_coeffs))
-    return OptimizationResult(c_final, final_infid, history)
+    return run
