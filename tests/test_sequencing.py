@@ -403,3 +403,52 @@ class TestDeepReduction:
         want = to_np(p2.get_control_matrix(omega))
         rel = np.abs(got - want).max() / np.abs(want).max()
         assert rel < 1e-8
+
+
+class TestCompositionKwargs:
+    """Keyword-path coverage for remap/extend flags mirroring the
+    reference's behavior."""
+
+    def test_remap_identifier_mapping(self):
+        pulse = rand_pulse_sequence(4, 3, btype='Pauli')
+        omega = np.linspace(0.5, 10, 9)
+        pulse.cache_filter_function(omega)
+        mapping = {old: f'{old}_sw' for old in
+                   (*pulse.c_oper_identifiers, *pulse.n_oper_identifiers)}
+        swapped = ff.remap(pulse, (1, 0), oper_identifier_mapping=mapping)
+        assert all(i.endswith('_sw') for i in swapped.c_oper_identifiers)
+        assert all(i.endswith('_sw') for i in swapped.n_oper_identifiers)
+        assert swapped.is_cached('filter function')
+
+    def test_extend_cache_flags(self):
+        x, z = sigma[1], sigma[3]
+        pulse = ff.PulseSequence([[x, [np.pi / 2], 'X']],
+                                 [[z, [1.0], 'Z']], [1],
+                                 basis=ff.Basis.pauli(1))
+        omega = np.linspace(0.5, 10, 9)
+        pulse.cache_filter_function(omega)
+        # explicit opt-out: no filter function on the extended pulse
+        ext = ff.extend([(pulse, 0), (pulse, 1)],
+                        cache_filter_function=False)
+        assert not ext.is_cached('filter function')
+        # opt out of diagonalization caching too
+        ext2 = ff.extend([(pulse, 0), (pulse, 1)],
+                         cache_diagonalization=False,
+                         cache_filter_function=False)
+        assert not ext2.is_cached('eigvals')
+        # forcing FF caching with explicit omega on uncached pulses
+        fresh = ff.PulseSequence([[x, [np.pi / 2], 'X']],
+                                 [[z, [1.0], 'Z']], [1],
+                                 basis=ff.Basis.pauli(1))
+        ext3 = ff.extend([(fresh, 0), (fresh, 1)],
+                         cache_filter_function=True, omega=omega)
+        assert ext3.is_cached('filter function')
+
+    def test_concatenate_periodic_check_invertible_kwarg(self):
+        pulse = rand_pulse_sequence(2, 3)
+        omega = np.linspace(0.5, 10, 9)
+        pulse.cache_filter_function(omega)
+        a = ff.concatenate_periodic(pulse, 5, check_invertible=True)
+        b = ff.concatenate_periodic(pulse, 5, check_invertible=False)
+        assert_allclose(to_np(a.get_filter_function(omega)),
+                        to_np(b.get_filter_function(omega)), atol=1e-14)
