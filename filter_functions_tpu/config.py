@@ -29,6 +29,23 @@ X64 = 'FF_TPU_NO_X64' not in os.environ
 if X64:
     jax.config.update('jax_enable_x64', True)
 
+# Persistent XLA compilation cache: compile time dominates small-d
+# workloads (first jit of the pipeline is seconds on CPU and minutes on
+# remote-compiled TPU backends), so cache compiled executables across
+# processes.  Opt out with FF_TPU_NO_COMPILE_CACHE=1 or redirect with
+# JAX_COMPILATION_CACHE_DIR.
+if 'FF_TPU_NO_COMPILE_CACHE' not in os.environ:
+    try:
+        cache_dir = os.environ.get(
+            'JAX_COMPILATION_CACHE_DIR',
+            os.path.join(os.path.expanduser('~'), '.cache',
+                         'filter_functions_tpu', 'jax_cache'))
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                          0.1)
+    except Exception:   # pragma: no cover - cache is best-effort
+        pass
+
 
 def float_dtype():
     """The default real dtype (float64 under x64, float32 otherwise)."""

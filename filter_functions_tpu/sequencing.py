@@ -258,8 +258,17 @@ def concatenate(pulses: Iterable[PulseSequence],
     if any(isinstance(pl, C) for pl in props_liouville):
         propagators_liouville = util.adot(_stack_c(props_liouville))
     else:
-        propagators_liouville = util.adot(
-            jnp.stack([jnp.asarray(pl) for pl in props_liouville]))
+        if len(props_liouville) > 1 and all(
+                pl is props_liouville[0] for pl in props_liouville):
+            # concatenate([p] * G): broadcast instead of a G-ary stack
+            # (one eager op per pulse otherwise)
+            first = jnp.asarray(props_liouville[0])
+            stacked = jnp.broadcast_to(
+                first, (len(props_liouville),) + first.shape)
+        else:
+            stacked = jnp.stack([jnp.asarray(pl)
+                                 for pl in props_liouville])
+        propagators_liouville = util.adot(stacked)
 
     # atomic control matrices, sorted into the new noise-operator order
     n_nops_new = len(newpulse.n_opers)

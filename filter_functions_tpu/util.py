@@ -398,16 +398,46 @@ def tensor_transpose(arr, order: Sequence[int], arr_dims, rank: int = 2):
 # -----------------------------------------------------------------------------
 def mdot(arr, axis: int = 0):
     """Reduce a stack of matrices by matrix product along *axis*:
-    ``mdot([A0, A1, A2]) = A0 @ A1 @ A2``."""
+    ``mdot([A0, A1, A2]) = A0 @ A1 @ A2``.
+
+    Device stacks reduce inside one jitted ``lax.scan`` -- a Python
+    loop of eager matmuls would pay per-element dispatch for
+    thousand-segment stacks (e.g. total propagators of long
+    concatenations)."""
     if isinstance(arr, C):
         mats = arr.swapaxes(0, axis) if axis else arr
-        out = mats[0]
-        for g in range(1, len(mats)):
-            out = out @ mats[g]
-        return out
-    mats = np.swapaxes(np.asarray(arr), 0, axis) if not isinstance(
-        arr, jnp.ndarray) else jnp.swapaxes(arr, 0, axis)
+        if len(mats) == 1:
+            return mats[0]
+        re, im = _mdot_scan_split(mats.re, mats.im)
+        return C(re, im)
+    if isinstance(arr, jnp.ndarray):
+        mats = jnp.swapaxes(arr, 0, axis) if axis else arr
+        if mats.shape[0] == 1:
+            return mats[0]
+        return _mdot_scan(mats)
+    mats = np.swapaxes(np.asarray(arr), 0, axis)
     return functools.reduce(lambda a, b: a @ b, mats)
+
+
+@jax.jit
+def _mdot_scan(mats: jnp.ndarray) -> jnp.ndarray:
+    def step(carry, x):
+        return carry @ x, None
+    out, _ = lax.scan(step, mats[0], mats[1:])
+    return out
+
+
+@jax.jit
+def _mdot_scan_split(re: jnp.ndarray, im: jnp.ndarray):
+    def step(carry, x):
+        cr, ci = carry
+        xr, xi = x
+        p1 = cr @ xr
+        p2 = ci @ xi
+        p3 = (cr + ci) @ (xr + xi)
+        return (p1 - p2, p3 - p1 - p2), None
+    out, _ = lax.scan(step, (re[0], im[0]), (re[1:], im[1:]))
+    return out
 
 
 def adot(arr, axis: int = 0):
