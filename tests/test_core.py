@@ -349,3 +349,34 @@ class TestConstructionNegativePaths:
         q = rand_pulse_sequence(2, 2)
         with pytest.raises(NotImplementedError):
             p @= q
+
+
+class TestExplicitCacheSeeding:
+    def test_cache_filter_function_explicit_value(self):
+        p1 = rand_pulse_sequence(2, 3)
+        p2 = copy.copy(p1)
+        p2.cleanup('all')
+        omega = np.linspace(0.5, 5, 9)
+        gen = p1.get_filter_function(omega, which='generalized')
+        # seed the second pulse with the precomputed generalized FF
+        p2.cache_filter_function(omega, filter_function=gen,
+                                 which='generalized')
+        assert p2.is_cached('generalized filter function')
+        # fidelity FF must be derived from the seeded value by trace
+        fid = to_np(p2.get_filter_function(omega))
+        assert_allclose(fid, to_np(p1.get_filter_function(omega)),
+                        atol=1e-14)
+
+    def test_cache_control_matrix_explicit_value(self):
+        p1 = rand_pulse_sequence(2, 3)
+        p2 = copy.copy(p1)
+        p2.cleanup('all')
+        omega = np.linspace(0.5, 5, 9)
+        ctrl = p1.get_control_matrix(omega)
+        p2.cache_control_matrix(omega, ctrl)
+        assert p2.is_cached('control matrix')
+        # concatenation byproducts cached alongside
+        assert p2.is_cached('total phases')
+        assert p2.is_cached('total propagator liouville')
+        assert_allclose(to_np(p2.get_filter_function(omega)),
+                        to_np(p1.get_filter_function(omega)), atol=1e-14)
