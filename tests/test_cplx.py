@@ -192,20 +192,27 @@ class TestOzaki:
     def test_accuracy(self):
         from filter_functions_tpu.ops.ozaki import (DEFAULT_PRECISION_BITS,
                                                     ozaki_matmul)
+        # Per-test RNG: the shared module RNG makes draws depend on test
+        # execution order, which made this flake under the full suite.
+        local = np.random.default_rng(seed=7)
         for (m, k, n) in [(32, 64, 16), (20, 300, 10), (8, 4000, 8)]:
-            a = rng.standard_normal((m, k)) \
-                * np.exp(rng.standard_normal((m, 1)) * 4)
-            b = rng.standard_normal((k, n)) \
-                * np.exp(rng.standard_normal((1, n)) * 4)
+            a = local.standard_normal((m, k)) \
+                * np.exp(local.standard_normal((m, 1)) * 4)
+            b = local.standard_normal((k, n)) \
+                * np.exp(local.standard_normal((1, n)) * 4)
             want = a @ b
-            # default truncation (36-bit): ~2^-36 of row*col magnitude
+            # The Ozaki truncation guarantee is relative to the row*col
+            # *magnitude* sum |a|@|b| (cancellation-heavy entries can
+            # exceed any bound stated relative to |a@b|).
+            scale = (np.abs(a) @ np.abs(b)).max()
+            # default truncation: ~2^-bits of the magnitude scale
             got = np.asarray(ozaki_matmul(jnp.asarray(a), jnp.asarray(b)))
-            rel = np.abs(got - want).max() / np.abs(want).max()
+            rel = np.abs(got - want).max() / scale
             assert rel < 2**-DEFAULT_PRECISION_BITS * 16, (k, rel)
             # explicit high precision tightens accordingly
             got48 = np.asarray(ozaki_matmul(jnp.asarray(a), jnp.asarray(b),
                                             48))
-            rel48 = np.abs(got48 - want).max() / np.abs(want).max()
+            rel48 = np.abs(got48 - want).max() / scale
             assert rel48 < 1e-13, (k, rel48)
 
     def test_batched(self):
