@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import copy as _copy
 from types import MappingProxyType
-from typing import Optional, Sequence, Tuple, Union
+from typing import Dict, Optional, Sequence, Tuple, Union
 
 import jax.numpy as jnp
 import numpy as np
@@ -304,15 +304,26 @@ class PulseSequence:
         'pulse correlation control matrix': 'control_matrix_pc',
     }
 
+    # alias -> (storage dict attribute, resolved key); precomputed once
+    # at class creation so is_cached is two dict lookups, not string
+    # munging -- concatenation scans it once per pulse per attribute
+    _ALIAS_LOOKUP: Dict[str, Tuple[str, str]] = {}
+
     def is_cached(self, attr: str) -> bool:
         """Human-friendly cache query (pulse_sequence.py:508-538)."""
-        alias = attr.lower().replace('_', ' ')
-        if alias in self._DATA_ALIASES:
-            return self._DATA_ALIASES[alias] in self._data
-        if alias in self._FREQ_ALIASES:
-            return self._FREQ_ALIASES[alias] in self._frequency_data
-        return (attr in self._intermediates or attr in self._frequency_data
-                or attr in self._data)
+        hit = self._ALIAS_LOOKUP.get(attr)
+        if hit is None:
+            alias = attr.lower().replace('_', ' ')
+            if alias in self._DATA_ALIASES:
+                hit = ('_data', self._DATA_ALIASES[alias])
+            elif alias in self._FREQ_ALIASES:
+                hit = ('_frequency_data', self._FREQ_ALIASES[alias])
+            else:
+                return (attr in self._intermediates
+                        or attr in self._frequency_data
+                        or attr in self._data)
+            self._ALIAS_LOOKUP[attr] = hit
+        return hit[1] in getattr(self, hit[0])
 
     @property
     def data(self):
@@ -365,8 +376,11 @@ class PulseSequence:
     # -- time attributes -------------------------------------------------------
     @property
     def t(self) -> np.ndarray:
-        return self._data.setdefault(
-            't', np.concatenate(([0], self.dt.cumsum())))
+        # explicit check: dict.setdefault would evaluate (and pay for)
+        # the cumsum on every access, cached or not
+        if 't' not in self._data:
+            self._data['t'] = np.concatenate(([0], self.dt.cumsum()))
+        return self._data['t']
 
     @t.setter
     def t(self, val):
@@ -374,9 +388,10 @@ class PulseSequence:
 
     @property
     def tau(self) -> float:
-        return self._data.setdefault(
-            'tau', float(self.t[-1]) if 't' in self._data
-            else float(self.dt.sum()))
+        if 'tau' not in self._data:
+            self._data['tau'] = (float(self.t[-1]) if 't' in self._data
+                                 else float(self.dt.sum()))
+        return self._data['tau']
 
     @tau.setter
     def tau(self, val):

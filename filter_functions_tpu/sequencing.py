@@ -50,20 +50,42 @@ def _concatenate_hamiltonian(opers, identifiers, coeffs, kind: str):
     n_ops_per_pulse = [len(op) for op in opers]
     pulse_bounds = list(accumulate(n_ops_per_pulse))
 
-    all_opers = np.concatenate(opers, axis=0)
+    # hash each distinct operator-array object once: long trains built
+    # from repeated pulse objects hand us the same array G times
+    hash_memo: Dict[int, List[int]] = {}
+    per_pulse_hashes = []
+    for op in opers:
+        h = hash_memo.get(id(op))
+        if h is None:
+            h = util.hash_array_along_axis(op, axis=0)
+            hash_memo[id(op)] = h
+        per_pulse_hashes.append(h)
+    oper_hashes = [h for hs in per_pulse_hashes for h in hs]
     all_identifiers = np.concatenate(identifiers)
-    oper_hashes = util.hash_array_along_axis(all_opers, axis=0)
     uniq_hashes, first_idx, inverse = np.unique(
         oper_hashes, return_index=True, return_inverse=True)
     uniq_hashes = uniq_hashes.tolist()
     uniq_identifiers = all_identifiers[first_idx].tolist()
+    # gather only the unique operators instead of concatenating all
+    first_pulse = [bisect.bisect(pulse_bounds, int(fp)) for fp in first_idx]
+    uniq_opers = np.array(
+        [np.asarray(opers[p])[int(fp) - ([0] + pulse_bounds)[p]]
+         for p, fp in zip(first_pulse, first_idx)])
 
-    # hash tables in both directions to detect clashes
+    # hash tables in both directions to detect clashes (deduped by
+    # object identity of the per-pulse arrays: repeated pulse objects
+    # contribute identical pairs)
     oper_to_ids: Dict[int, set] = {}
     id_to_opers: Dict[str, set] = {}
-    for h, ident in zip(oper_hashes, all_identifiers):
-        oper_to_ids.setdefault(h, set()).add(ident)
-        id_to_opers.setdefault(ident, set()).add(h)
+    seen_pairs: set = set()
+    for p, (op, idents) in enumerate(zip(opers, identifiers)):
+        key = (id(op), id(idents))
+        if key in seen_pairs:
+            continue
+        seen_pairs.add(key)
+        for h, ident in zip(per_pulse_hashes[p], idents):
+            oper_to_ids.setdefault(h, set()).add(ident)
+            id_to_opers.setdefault(ident, set()).add(h)
 
     if any(len(ids) > 1 for ids in oper_to_ids.values()):
         raise ValueError(f'Trying to concatenate pulses with equal {kind} '
@@ -94,17 +116,18 @@ def _concatenate_hamiltonian(opers, identifiers, coeffs, kind: str):
                         mapping[p][ident] = new_ident
 
     sort_idx = np.argsort(uniq_identifiers)
-    concat_opers = all_opers[first_idx[sort_idx]]
+    concat_opers = uniq_opers[sort_idx]
     concat_identifiers = np.array([uniq_identifiers[i] for i in sort_idx])
 
     n_dt_total = seg_bounds[-1]
     concat_coeffs = np.full((len(uniq_identifiers), n_dt_total), np.nan)
-    flat_coeffs = [c for pulse_coeffs in coeffs for c in pulse_coeffs]
-    for u in range(len(uniq_identifiers)):
-        for flat_pos in (inverse == u).nonzero()[0]:
-            p = bisect.bisect(pulse_bounds, flat_pos)
-            concat_coeffs[u, seg_bounds[p]:seg_bounds[p + 1]] = \
-                flat_coeffs[flat_pos]
+    # one vectorized block write per pulse (per-member bisect loops are
+    # O(G * n_ops) Python for long trains)
+    start = 0
+    for p, pulse_coeffs in enumerate(coeffs):
+        rows = inverse[start:start + n_ops_per_pulse[p]]
+        concat_coeffs[rows, seg_bounds[p]:seg_bounds[p + 1]] = pulse_coeffs
+        start += n_ops_per_pulse[p]
 
     if kind == 'noise':
         nan_mask = np.isnan(concat_coeffs)
@@ -197,12 +220,18 @@ def concatenate(pulses: Iterable[PulseSequence],
     # scattered by position, not by boolean mask.
     unique_identifiers = sorted({new for mapping in n_oper_mapping.values()
                                  for new in mapping.values()})
+    row_of = {ident: k for k, ident in enumerate(unique_identifiers)}
     pulse_rows = []
+    rows_memo: Dict[tuple, np.ndarray] = {}
     for i, pulse in enumerate(pulses):
         mapping = n_oper_mapping[i]
-        pulse_rows.append(np.array(
-            [unique_identifiers.index(mapping[old])
-             for old in pulse.n_oper_identifiers]))
+        key = (id(pulse.n_oper_identifiers), *sorted(mapping.items()))
+        rows = rows_memo.get(key)
+        if rows is None:
+            rows = np.array([row_of[mapping[old]]
+                             for old in pulse.n_oper_identifiers])
+            rows_memo[key] = rows
+        pulse_rows.append(rows)
     n_opers_present = np.zeros((len(pulses), len(unique_identifiers)),
                                dtype=bool)
     for i, rows in enumerate(pulse_rows):
@@ -248,10 +277,14 @@ def concatenate(pulses: Iterable[PulseSequence],
         newpulse.cache_filter_function(omega, which=which)
         return newpulse
 
-    # cumulative phase factors e^{i w t_{g-1}} of pulse boundaries:
-    # log-depth cumulative product on device (no per-pulse dispatch)
-    phase_list = [p.get_total_phases(omega) for p in pulses[:-1]]
-    phases = _cumprod_c(phase_list)                     # (G-1, n_omega) C
+    # cumulative phase factors e^{i w t_{g-1}} of pulse boundaries.
+    # Each pulse's total phase is e^{i w tau} (pulse_sequence.py:1056),
+    # so the cumulative product has the closed form e^{i w cumsum(tau)}
+    # -- one cexp, no per-pulse dispatch and no cumprod scan (and less
+    # rounding than the product for long trains).
+    t_bound = np.cumsum([p.tau for p in pulses[:-1]])
+    phases = _boundary_phases(jnp.asarray(omega),
+                              jnp.asarray(t_bound))     # (G-1, n_omega) C
 
     # Liouville transfer matrices of the cumulative boundary propagators
     props_liouville = [p.total_propagator_liouville for p in pulses[:-1]]
@@ -275,14 +308,35 @@ def concatenate(pulses: Iterable[PulseSequence],
     n_w = len(np.asarray(omega))
     n_basis = len(newpulse.basis)
     seg_bounds = [0] + list(accumulate(len(p.dt) for p in pulses))
-    identity_rows = all(
-        np.array_equal(rows, np.arange(n_nops_new))
-        for rows in pulse_rows)
+    # every pulse_rows entry is a rows_memo value, so the unique
+    # candidates suffice (O(#distinct pulses), not O(G))
+    _expected = np.arange(n_nops_new)
+    identity_rows = all(np.array_equal(rows, _expected)
+                        for rows in rows_memo.values())
+    # 'correlations' keeps the per-pulse summands, needed both for the
+    # pulse-correlation FF and the second-order concatenation rule.
+    keep_steps = calc_pulse_correlation_FF or calc_second_order_FF
+    uniform_ctrl = None
     if identity_rows:
-        # common fast path: stack cached device arrays directly
-        ctrls = [pulse.get_control_matrix(omega, show_progressbar)
-                 for pulse in pulses]
-        control_matrix_atomic = _stack_c(ctrls)
+        # common fast path: stack cached device arrays directly.
+        # Memoize by object identity: concatenate([p] * G) and long
+        # Clifford trains repeat pulse objects, and even a cached
+        # get_control_matrix pays an omega revalidation per call.
+        by_id: Dict[int, C] = {}
+        ctrls = []
+        for pulse in pulses:
+            ctrl = by_id.get(id(pulse))
+            if ctrl is None:
+                ctrl = pulse.get_control_matrix(omega, show_progressbar)
+                by_id[id(pulse)] = ctrl
+            ctrls.append(ctrl)
+        if len(by_id) == 1 and not keep_steps:
+            # identical atomic pulses, total only: the g-sum factorizes
+            # -- never materialize the (G, n_nops, d**2, n_omega) stack
+            uniform_ctrl = ctrls[0]
+            control_matrix_atomic = None
+        else:
+            control_matrix_atomic = _stack_c(ctrls)
     else:
         atomic_re = np.zeros((len(pulses), n_nops_new, n_basis, n_w))
         atomic_im = np.zeros_like(atomic_re)
@@ -312,13 +366,14 @@ def concatenate(pulses: Iterable[PulseSequence],
     newpulse.total_propagator_liouville = liouville_representation(
         newpulse.total_propagator, newpulse.basis)
 
-    # 'correlations' keeps the per-pulse summands, needed both for the
-    # pulse-correlation FF and the second-order concatenation rule.
-    keep_steps = calc_pulse_correlation_FF or calc_second_order_FF
-    control_matrix = numeric.calculate_control_matrix_from_atomic(
-        phases, control_matrix_atomic, propagators_liouville,
-        show_progressbar,
-        which='correlations' if keep_steps else 'total')
+    if uniform_ctrl is not None:
+        control_matrix = numeric.calculate_control_matrix_from_atomic_uniform(
+            phases, uniform_ctrl, propagators_liouville)
+    else:
+        control_matrix = numeric.calculate_control_matrix_from_atomic(
+            phases, control_matrix_atomic, propagators_liouville,
+            show_progressbar,
+            which='correlations' if keep_steps else 'total')
 
     if calc_second_order_FF:
         ctrl_step = control_matrix
@@ -340,6 +395,13 @@ def concatenate(pulses: Iterable[PulseSequence],
 
     newpulse.cache_filter_function(omega, control_matrix, which=which)
     return newpulse
+
+
+@jax.jit
+def _boundary_phases(omega: jnp.ndarray, t_bound: jnp.ndarray) -> C:
+    """e^{i omega t_g} for all pulse boundaries, fused in one kernel."""
+    x = t_bound[:, None] * omega[None, :]
+    return C(jnp.cos(x), jnp.sin(x))
 
 
 def _stack_c(items: Sequence) -> C:

@@ -440,22 +440,43 @@ def _mdot_scan_split(re: jnp.ndarray, im: jnp.ndarray):
     return out
 
 
+def _adot_use_sequential(n_mats: int, dim: int) -> bool:
+    """Pick the cumulative-product strategy by static shape.
+
+    Long stacks of small matrices (concatenation trains: G up to 1e4,
+    d**2 <= 16) run as a rolled ``lax.scan`` -- O(1) ops to compile
+    regardless of G (the log-depth associative scan unrolls ~log G
+    slice/pad/interleave levels, which costs seconds of XLA compile at
+    G=1e4 and wins nothing on matrices this small).  Short stacks of
+    large matrices keep the log-depth associative scan: batched matmuls
+    fill the MXU and the depth, not the flops, is the bottleneck.
+    """
+    return n_mats > 256 or dim <= 16
+
+
 def adot(arr, axis: int = 0):
     """Accumulated (cumulative) matrix product along *axis*:
     ``out[g] = arr[g] @ arr[g-1] @ ... @ arr[0]``.
 
-    Device path: log-depth ``lax.associative_scan`` over (reversed-order)
-    matmul -- the reference's serial ``accumulate`` loop
-    (util.py:868-877) is the O(G)-depth bottleneck this removes.
+    Device path replacing the reference's serial ``accumulate`` loop
+    (util.py:868-877): a log-depth ``lax.associative_scan`` for short
+    stacks of large matrices, a rolled ``lax.scan`` for long stacks of
+    small ones (see :func:`_adot_use_sequential`).
     """
     if isinstance(arr, C):
         mats = arr.swapaxes(0, axis) if axis else arr
-        re, im = _adot_scan_split(mats.re, mats.im)
+        if _adot_use_sequential(mats.shape[0], mats.shape[-1]):
+            re, im = _adot_seq_split(mats.re, mats.im)
+        else:
+            re, im = _adot_scan_split(mats.re, mats.im)
         out = C(re, im)
         return out.swapaxes(0, axis) if axis else out
     if isinstance(arr, jnp.ndarray):
         mats = jnp.swapaxes(arr, 0, axis) if axis else arr
-        out = lax.associative_scan(lambda a, b: jnp.matmul(b, a), mats)
+        if _adot_use_sequential(mats.shape[0], mats.shape[-1]):
+            out = _adot_seq(mats)
+        else:
+            out = _adot_assoc(mats)
         return jnp.swapaxes(out, 0, axis) if axis else out
     # host numpy fallback
     mats = np.swapaxes(np.asarray(arr), 0, axis)
@@ -464,6 +485,20 @@ def adot(arr, axis: int = 0):
     for g in range(1, len(mats)):
         out[g] = mats[g] @ out[g - 1]
     return np.swapaxes(out, 0, axis)
+
+
+@jax.jit
+def _adot_assoc(mats: jnp.ndarray):
+    return lax.associative_scan(lambda a, b: jnp.matmul(b, a), mats)
+
+
+@jax.jit
+def _adot_seq(mats: jnp.ndarray):
+    def step(carry, x):
+        out = x @ carry
+        return out, out
+    _, rest = lax.scan(step, mats[0], mats[1:])
+    return jnp.concatenate([mats[:1], rest])
 
 
 @jax.jit
@@ -477,6 +512,22 @@ def _adot_scan_split(re: jnp.ndarray, im: jnp.ndarray):
         p3 = jnp.matmul(br + bi, ar + ai)
         return p1 - p2, p3 - p1 - p2
     return lax.associative_scan(combine, (re, im))
+
+
+@jax.jit
+def _adot_seq_split(re: jnp.ndarray, im: jnp.ndarray):
+    """Rolled-scan cumulative complex matmul on split operands."""
+    def step(carry, x):
+        cr, ci = carry
+        xr, xi = x
+        p1 = xr @ cr
+        p2 = xi @ ci
+        p3 = (xr + xi) @ (cr + ci)
+        out = (p1 - p2, p3 - p1 - p2)
+        return out, out
+    _, rest = lax.scan(step, (re[0], im[0]), (re[1:], im[1:]))
+    return (jnp.concatenate([re[:1], rest[0]]),
+            jnp.concatenate([im[:1], rest[1]]))
 
 
 def integrate(f, x=None, dx: float = 1.0):
@@ -573,8 +624,24 @@ def hash_array_along_axis(arr, axis: int = 0) -> List[int]:
 
 
 def all_array_equal(it: Iterable) -> bool:
-    """True if all (host) arrays in *it* are byte-identical."""
-    return len({hash(np.asarray(i).tobytes()) for i in it}) == 1
+    """True if all (host) arrays in *it* are byte-identical.
+
+    Deduplicates by object identity first: pulse trains built as
+    ``[p] * G`` hand the same array object G times, and hashing its
+    bytes G times would dominate long concatenations.
+    """
+    seen_ids: set = set()
+    keepalive = []  # pin yielded objects so ids can't be recycled
+    hashes: set = set()
+    for i in it:
+        if id(i) in seen_ids:
+            continue
+        seen_ids.add(id(i))
+        keepalive.append(i)
+        hashes.add(hash(np.asarray(i).tobytes()))
+        if len(hashes) > 1:
+            return False
+    return len(hashes) == 1
 
 
 def progressbar(iterable, *args, **kwargs):
