@@ -710,28 +710,46 @@ def calculate_second_order_filter_function_from_atomic(
     props = asc(propagators)
     props_liouville = propagators_liouville
     G = len(asc(control_matrix_atomic))
+    if G < 2:
+        return result
 
-    for g in range(1, G):
-        eigvecs_propagated = _propagate_eigenvectors(
-            props[g - 1:g], asc(intermediates[g]['eigvecs_propagated']))
-        n_t = asc(intermediates[g]['n_opers_transformed'])
-        int2 = asc(intermediates[g]['second_order_integral'])
-        complete = asc(intermediates[g]['second_order_complete_steps'])
+    def cstack(items):
+        return C(jnp.stack([i.re for i in items]),
+                 jnp.stack([i.im for i in items]))
 
-        # cross term G*_(g) B_(g-1): outer product over basis indices
-        result = result + ceinsum('ako,blo->abklo',
-                                  ctrl_step[g].conj(), ctrl_cumul[g - 1])
-        # transformed complete steps Q^T N Q
-        ql = props_liouville[g - 1]
-        ql = ql if isinstance(ql, C) else jnp.asarray(ql)
-        result = result + ceinsum('pk,abpqo,ql->abklo', ql, complete, ql)
-        # incomplete steps of pulse g transformed into the sequence frame
-        b_t = ceinsum('hba,kbc,hcd->hkad', eigvecs_propagated.conj(),
-                      basis_dev, eigvecs_propagated)
-        nob = ceinsum('ahij,hkji->hakij', n_t, b_t)
-        result = result + ceinsum('hoijmn,hakij,hblmn->abklo',
-                                  int2, nob, nob)
-    return result
+    def cconcat(items, axis=0):
+        return C(jnp.concatenate([i.re for i in items], axis),
+                 jnp.concatenate([i.im for i in items], axis))
+
+    # Terms with pulse-uniform shapes: one batched contraction over the
+    # g = 1..G-1 stack each (the reference loops pulses in Python,
+    # numeric.py:1775-1818; so did round 1 -- O(G) dispatches).
+    # cross term G*_(g) B_(g-1): outer product over basis indices
+    result = result + ceinsum('gako,gblo->abklo',
+                              ctrl_step[1:G].conj(), ctrl_cumul[:G - 1])
+    # transformed complete steps Q^T N Q
+    ql = props_liouville if isinstance(props_liouville, C) \
+        else jnp.asarray(props_liouville)                 # (G-1, d^2, d^2)
+    complete = cstack([asc(intermediates[g]['second_order_complete_steps'])
+                       for g in range(1, G)])
+    result = result + ceinsum('gpk,gabpqo,gql->abklo', ql, complete, ql)
+
+    # Incomplete steps: the g- and within-pulse segment sums flatten
+    # into ONE concatenated segment axis (per-pulse segment counts may
+    # be ragged, so concatenate rather than stack).
+    evs = [asc(intermediates[g]['eigvecs_propagated']) for g in range(1, G)]
+    h_counts = [ev.shape[0] for ev in evs]
+    rep_idx = jnp.asarray(np.repeat(np.arange(G - 1), h_counts))
+    props_rep = props._map(lambda x: x[rep_idx])          # (H, d, d)
+    eigvecs_propagated = _propagate_eigenvectors(props_rep, cconcat(evs))
+    n_t = cconcat([asc(intermediates[g]['n_opers_transformed'])
+                   for g in range(1, G)], axis=1)         # (a, H, i, j)
+    int2 = cconcat([asc(intermediates[g]['second_order_integral'])
+                    for g in range(1, G)])                # (H, o, ...)
+    b_t = ceinsum('hba,kbc,hcd->hkad', eigvecs_propagated.conj(),
+                  basis_dev, eigvecs_propagated)
+    nob = ceinsum('ahij,hkji->hakij', n_t, b_t)
+    return result + ceinsum('hoijmn,hakij,hblmn->abklo', int2, nob, nob)
 
 
 # -----------------------------------------------------------------------------

@@ -869,6 +869,22 @@ def extend(pulse_to_qubit_mapping: PulseMapping, N: Optional[int] = None,
 
     # ---- extend cached control matrices / filter functions ----
     if cache_filter_function:
+        # only first-order fidelity quantities are extended; say so if
+        # an input pulse carried more (the reference likewise only
+        # handles first order, cf. pulse_sequence.py:2459-2467)
+        dropped = sorted({
+            name for p in pulses for name, key in
+            (('second order filter function', 'filter_function_2'),
+             ('pulse correlation filter function', 'filter_function_pc'),
+             ('generalized pulse correlation filter function',
+              'filter_function_pc_gen'))
+            if p.is_cached(key)})
+        if dropped:
+            warn('extend() only extends first-order control matrices and '
+                 'fidelity filter functions; cached '
+                 + ', '.join(dropped)
+                 + ' of the input pulses are discarded and must be '
+                 'recomputed on the extended pulse.', UserWarning)
         newpulse.omega = omega
         n_nops_new = len(newpulse.n_opers)
         n_w = len(np.asarray(omega))

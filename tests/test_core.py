@@ -301,6 +301,25 @@ class TestPropagatorAtArbT:
         want = theirs.propagator_at_arb_t(tt)
         assert_allclose(got, want, atol=1e-12)
 
+    @pytest.mark.skipif(not HAVE_REFERENCE, reason='reference unavailable')
+    def test_edges_and_boundaries_match_reference(self):
+        """t = 0, t = tau, exact segment boundaries, and interior
+        points (reference oracle pulse_sequence.py:1247-1267)."""
+        from testutil import pulse_pair
+        ours, theirs = pulse_pair(3, 5)
+        interior = (np.asarray(ours.t[:-1]) + np.asarray(ours.t[1:])) / 2
+        tt = np.sort(np.concatenate(
+            [[0.0, float(ours.tau)], np.asarray(ours.t), interior]))
+        got = to_np(ours.propagator_at_arb_t(tt))
+        want = theirs.propagator_at_arb_t(tt)
+        assert_allclose(got, want, atol=1e-12)
+        # t = 0 is the identity, t = tau the total propagator
+        assert_allclose(to_np(ours.propagator_at_arb_t([0.0]))[0],
+                        np.eye(3), atol=1e-12)
+        assert_allclose(
+            to_np(ours.propagator_at_arb_t([float(ours.tau)]))[0],
+            to_np(ours.total_propagator), atol=1e-12)
+
 
 class TestConstructionNegativePaths:
     """Reference test_core pins a large negative-path surface

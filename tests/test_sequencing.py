@@ -1,5 +1,7 @@
 """Concatenation, periodic repetition, remap and extend tests
 (mirroring the strategy of the reference's tests/test_sequencing.py)."""
+import warnings
+
 import numpy as np
 import pytest
 
@@ -217,6 +219,28 @@ class TestSecondOrderConcatenation:
         want_pulse = ref.concatenate(theirs, calc_second_order_FF=True)
         got = to_np(got_pulse.get_filter_function(omega, order=2))
         want = want_pulse.get_filter_function(omega, order=2)
+        assert_allclose(got, want, atol=1e-11)
+
+    def test_second_order_concat_many_ragged_pulses(self):
+        """16 atomic pulses with ragged segment counts through the
+        batched K11 path (numeric.py concatenation rule) == scratch."""
+        omega = np.linspace(0.5, 5, 7)
+        base = rand_pulse_arrays(2, 2)
+        arrays = []
+        for i in range(16):
+            arr = rand_pulse_arrays(2, 1 + i % 3)  # ragged n_dt: 1, 2, 3
+            n_coeffs = np.broadcast_to(base[5][:, :1],
+                                       arr[5].shape).copy()
+            arrays.append((arr[0], arr[1], arr[2], base[3], base[4],
+                           n_coeffs, arr[6]))
+        pulses = [make_pulse(a) for a in arrays]
+        for p in pulses:
+            p.get_control_matrix(omega, cache_intermediates=True)
+            p.get_filter_function(omega, order=2, cache_intermediates=True)
+        combined = ff.concatenate(pulses, calc_second_order_FF=True)
+        got = to_np(combined.get_filter_function(omega, order=2))
+        scratch = ff.concatenate_without_filter_function(pulses)
+        want = to_np(scratch.get_filter_function(omega, order=2))
         assert_allclose(got, want, atol=1e-11)
 
     def test_second_order_concat_equals_scratch(self):
@@ -443,6 +467,28 @@ class TestCompositionKwargs:
         ext3 = ff.extend([(fresh, 0), (fresh, 1)],
                          cache_filter_function=True, omega=omega)
         assert ext3.is_cached('filter function')
+
+    def test_extend_warns_on_dropped_higher_order_caches(self):
+        """extend() only carries first-order quantities; cached
+        second-order / pulse-correlation FFs must be flagged."""
+        x, z = sigma[1], sigma[3]
+        pulse = ff.PulseSequence([[x, [np.pi / 2], 'X']],
+                                 [[z, [1.0], 'Z']], [1],
+                                 basis=ff.Basis.pauli(1))
+        omega = np.linspace(0.5, 10, 9)
+        pulse.cache_filter_function(omega)
+        pulse.get_filter_function(omega, order=2)
+        with pytest.warns(UserWarning, match='second order filter function'):
+            ext = ff.extend([(pulse, 0), (pulse, 1)])
+        assert not ext.is_cached('second order filter function')
+        # no higher-order caches -> no warning
+        clean = ff.PulseSequence([[x, [np.pi / 2], 'X']],
+                                 [[z, [1.0], 'Z']], [1],
+                                 basis=ff.Basis.pauli(1))
+        clean.cache_filter_function(omega)
+        with warnings.catch_warnings():
+            warnings.simplefilter('error')
+            ff.extend([(clean, 0), (clean, 1)])
 
     def test_concatenate_periodic_check_invertible_kwarg(self):
         pulse = rand_pulse_sequence(2, 3)
