@@ -1,18 +1,26 @@
-"""Benchmark: batched 4-qubit QFT filter function + infidelity.
+"""Benchmarks against the reference package (BASELINE.md configs).
 
-North star (BASELINE.json): control-matrix + filter-function build for
-the 4-qubit QFT (d = 16) at 1000 frequencies, batched, vs the reference
-NumPy implementation, with infidelity parity <= 1e-10.
+Default run prints ONE JSON line for the flagship config (the driver
+contract): batched 4-qubit QFT filter function + infidelity.
 
-Prints ONE JSON line:
     {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
 
-vs_baseline is the speedup of this framework (per pulse, batched
-evaluation on one chip) over the reference NumPy package evaluated on
-the host CPU (timed live when importable, else a recorded constant).
+All five BASELINE.md configs are available:
 
-Run on the TPU: ``python bench.py``; use --cpu to force the CPU
-backend, --quick for a smaller configuration.
+    python bench.py                      # flagship (qft) only
+    python bench.py --config hadamard    # one named config
+    python bench.py --all                # one JSON line per config
+    python bench.py --record-baseline    # run --all and store results
+                                         # in BASELINE.json 'published'
+
+Configs: qft (flagship), hadamard (README Y2 @ X dephasing + 1/f),
+dd (CPMG/UDD trains vs analytic closed forms), second_order (cumulant /
+error transfer matrix), rb (batched randomized benchmarking over
+Clifford sequences), grad (batched analytic infidelity derivatives).
+
+vs_baseline is the speedup over the reference NumPy package evaluated
+live on the host CPU (min-of-N both sides); every config reports an
+accuracy parity figure in its metric string.
 """
 import argparse
 import json
@@ -26,11 +34,35 @@ REPO = Path(__file__).parent
 N_OMEGA = 1000
 BATCH = 4
 N_QUBITS = 4
-# Fallback: reference per-pulse seconds measured on this host (updated
-# by --record-baseline).
-RECORDED_REF_SECONDS = None
 
 
+def _block(x):
+    import jax
+    return jax.block_until_ready(x)
+
+
+def _min_time(fn, iters, *args_per_iter):
+    """min-of-N wall time; fn(i) must block until ready itself."""
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        fn(i)
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def _install_reference():
+    sys.path.insert(0, str(REPO / 'tests'))
+    import _sparse_stub
+    sys.modules.setdefault('sparse', _sparse_stub)
+    sys.path.insert(0, '/root/reference')
+    import filter_functions as ref
+    return ref
+
+
+# -----------------------------------------------------------------------------
+# flagship: batched 4-qubit QFT FF + infidelity
+# -----------------------------------------------------------------------------
 def build_inputs():
     import jax
     import jax.numpy as jnp
@@ -67,47 +99,458 @@ def time_ours(batched, omega, spectrum, iters=5):
     fn = jax.jit(functional.batched_infidelity)
     omega_j = jnp.asarray(omega)
     spectrum_j = jnp.asarray(spectrum)
-    out = jax.block_until_ready(fn(batched, spectrum_j, omega_j))  # compile
-    # Distinct inputs per iteration (1 ulp-scale jitter) and a block
-    # per iteration: defeats any backend-side result memoization /
-    # async pipelining that would otherwise fake a fast repeat.
+    out = _block(fn(batched, spectrum_j, omega_j))  # compile
+    # Distinct inputs per iteration (ulp-scale jitter) and a block per
+    # iteration: defeats any backend-side result memoization / async
+    # pipelining that would otherwise fake a fast repeat.
     times = []
     for i in range(iters):
-        s_i = jax.block_until_ready(spectrum_j * (1.0 + 1e-14 * (i + 1)))
+        s_i = _block(spectrum_j * (1.0 + 1e-14 * (i + 1)))
         t0 = time.perf_counter()
-        out = jax.block_until_ready(fn(batched, s_i, omega_j))
+        out = _block(fn(batched, s_i, omega_j))
         times.append(time.perf_counter() - t0)
     return min(times) / BATCH, np.asarray(out)
 
 
-def time_reference(pulse_arrays_host, omega, spectrum, n_pulses=3):
-    """Time the reference NumPy package on the same pulses (host CPU).
-    Returns (seconds_per_pulse, infidelities of the unperturbed pulse)."""
-    sys.path.insert(0, str(REPO / 'tests'))
-    import _sparse_stub
-    sys.modules.setdefault('sparse', _sparse_stub)
-    sys.path.insert(0, '/root/reference')
-    import filter_functions as ref
+def config_qft(iters=5):
+    import jax
+    import jax.numpy as jnp
+    from filter_functions_tpu import functional
 
-    c_opers, c_ids, c_coeffs, n_opers, n_ids, n_coeffs, dt = \
-        pulse_arrays_host
+    pulse, p, batched, omega, spectrum = build_inputs()
+    seconds_per_pulse, _ = time_ours(batched, omega, spectrum, iters)
 
-    def build_and_eval(scale):
-        p = ref.PulseSequence.from_arrays(
-            c_opers, c_ids, c_coeffs * scale, n_opers, n_ids, n_coeffs,
-            dt, ref.Basis(np.asarray(_basis_np), btype='GGM'))
-        return ref.infidelity(p, spectrum, omega)
+    basis_np = pulse.basis.np
+    host_arrays = (pulse.c_opers, pulse.c_oper_identifiers,
+                   pulse.c_coeffs, pulse.n_opers,
+                   pulse.n_oper_identifiers, pulse.n_coeffs, pulse.dt)
+    try:
+        ref = _install_reference()
 
-    global _basis_np
-    infid0 = build_and_eval(1.0)  # warm caches/imports
-    # min over repeats: robust against host-load spikes (the reference
-    # cannot run faster than its true speed, only slower)
+        def build_and_eval(scale):
+            rp = ref.PulseSequence.from_arrays(
+                host_arrays[0], host_arrays[1], host_arrays[2] * scale,
+                *host_arrays[3:],
+                ref.Basis(np.asarray(basis_np), btype='GGM'))
+            return ref.infidelity(rp, spectrum, omega)
+
+        ref_infid = build_and_eval(1.0)  # warm
+        ref_seconds = _min_time(
+            lambda i: build_and_eval(1.0 + 1e-3 * i), 3)
+        ours_infid = np.asarray(jax.jit(functional.infidelity)(
+            p, jnp.asarray(spectrum), jnp.asarray(omega)))
+        parity = float(np.abs(ours_infid - ref_infid).max())
+    except Exception as err:
+        print(f'# reference timing unavailable: {err}', file=sys.stderr)
+        ref_seconds, parity = None, float('nan')
+
+    return {
+        'metric': ('batched 4-qubit QFT filter function + infidelity '
+                   f'({N_OMEGA} frequencies, batch {BATCH}); '
+                   f'infidelity parity vs reference {parity:.2e}'),
+        'value': seconds_per_pulse * 1e3,
+        'unit': 'ms/pulse',
+        'vs_baseline': (ref_seconds / seconds_per_pulse
+                        if ref_seconds else float('nan')),
+    }
+
+
+# -----------------------------------------------------------------------------
+# hadamard: README Y2 @ X single-qubit dephasing + 1/f infidelity
+# -----------------------------------------------------------------------------
+def config_hadamard(iters=5, batch=64, n_omega=400):
+    import jax
+    import jax.numpy as jnp
+    from math import pi
+    from filter_functions_tpu import functional, util
+    from filter_functions_tpu.cplx import asc
+
+    X, Y, Z = util.paulis[1:]
+    c_opers = np.stack([X / 2, Y / 2])
+    c_coeffs = np.array([[0.0, pi], [pi / 2, 0.0]])
+    n_opers = (Z / 2)[None]
+    n_coeffs = np.ones((1, 2))
+    dt = np.ones(2)
+    omega = np.geomspace(1e-2, 1e2, n_omega)
+    spectrum = 1e-2 / omega
+
+    from filter_functions_tpu.basis import Basis
+    rng = np.random.default_rng(0)
+    scales = 1 + 0.02 * rng.standard_normal((batch, 1, 1))
+    p = functional.PulseArrays(
+        asc(c_opers), jnp.asarray(c_coeffs[None] * scales),
+        asc(n_opers),
+        jnp.broadcast_to(jnp.asarray(n_coeffs), (batch, 1, 2)),
+        jnp.broadcast_to(jnp.asarray(dt), (batch, 2)),
+        Basis.ggm(2).dev)
+    fn = jax.jit(functional.batched_infidelity)
+    omega_j, spectrum_j = jnp.asarray(omega), jnp.asarray(spectrum)
+    _block(fn(p, spectrum_j, omega_j))
     times = []
-    for i in range(n_pulses):
+    for i in range(iters):
+        s_i = _block(spectrum_j * (1.0 + 1e-14 * (i + 1)))
         t0 = time.perf_counter()
-        build_and_eval(1.0 + 1e-3 * i)
+        out = _block(fn(p, s_i, omega_j))
         times.append(time.perf_counter() - t0)
-    return min(times), np.asarray(infid0)
+    seconds_per_pulse = min(times) / batch
+
+    single = functional.PulseArrays(
+        asc(c_opers), jnp.asarray(c_coeffs), asc(n_opers),
+        jnp.asarray(n_coeffs), jnp.asarray(dt), Basis.ggm(2).dev)
+    ours_infid = np.asarray(
+        jax.jit(functional.infidelity)(single, spectrum_j, omega_j))
+
+    try:
+        ref = _install_reference()
+
+        def build_and_eval(scale):
+            rp = ref.PulseSequence(
+                [[X / 2, c_coeffs[0] * scale, 'X'],
+                 [Y / 2, c_coeffs[1] * scale, 'Y']],
+                [[Z / 2, [1, 1], 'Z']], dt)
+            return ref.infidelity(rp, spectrum, omega)
+
+        ref_infid = build_and_eval(1.0)
+        ref_seconds = _min_time(
+            lambda i: build_and_eval(1.0 + 1e-3 * i), 3)
+        parity = float(np.abs(ours_infid - ref_infid).max())
+    except Exception as err:
+        print(f'# reference timing unavailable: {err}', file=sys.stderr)
+        ref_seconds, parity = None, float('nan')
+
+    return {
+        'metric': ('README Hadamard (Y2 @ X) dephasing FF + 1/f '
+                   f'infidelity ({n_omega} frequencies, batch {batch}); '
+                   f'infidelity parity vs reference {parity:.2e}'),
+        'value': seconds_per_pulse * 1e3,
+        'unit': 'ms/pulse',
+        'vs_baseline': (ref_seconds / seconds_per_pulse
+                        if ref_seconds else float('nan')),
+    }
+
+
+# -----------------------------------------------------------------------------
+# dd: CPMG / UDD trains, parity with analytic closed forms
+# -----------------------------------------------------------------------------
+def config_dd(iters=5, batch=32, n=16, n_omega=400):
+    import jax
+    import jax.numpy as jnp
+    from filter_functions_tpu import analytic, functional
+    from filter_functions_tpu.basis import Basis
+    from filter_functions_tpu.cplx import asc
+    from filter_functions_tpu.models import dd
+
+    tau = np.pi
+    omega = np.logspace(0, 2, n_omega)
+    parities = {}
+    arrays = {}
+    for dd_type in ('cpmg', 'udd'):
+        pulse = dd.dd_pulse(n, tau=tau, tau_pi=1e-9, dd_type=dd_type)
+        arrays[dd_type] = pulse
+
+    # batch: the CPMG train evaluated at `batch` overall durations
+    base = arrays['cpmg']
+    rng = np.random.default_rng(0)
+    scales = 1 + 0.1 * rng.random(batch)
+    p = functional.PulseArrays(
+        asc(base.c_opers),
+        jnp.broadcast_to(jnp.asarray(base.c_coeffs),
+                         (batch,) + base.c_coeffs.shape) /
+        jnp.asarray(scales)[:, None, None],
+        asc(base.n_opers),
+        jnp.broadcast_to(jnp.asarray(base.n_coeffs),
+                         (batch,) + base.n_coeffs.shape),
+        jnp.asarray(base.dt[None] * scales[:, None]),
+        Basis.ggm(2).dev)
+
+    def batched_ff(p, omega):
+        def single(c_coeffs, n_coeffs, dt):
+            one = functional.PulseArrays(p.c_opers, c_coeffs, p.n_opers,
+                                         n_coeffs, dt, p.basis)
+            ctrl = functional.control_matrix(one, omega)
+            return (ctrl.re**2 + ctrl.im**2).sum(axis=1)
+        return jax.vmap(single)(p.c_coeffs, p.n_coeffs, p.dt)
+
+    fn = jax.jit(batched_ff)
+    omega_j = jnp.asarray(omega)
+    out = _block(fn(p, omega_j))
+    times = []
+    for i in range(iters):
+        o_i = _block(omega_j * (1.0 + 1e-14 * (i + 1)))
+        t0 = time.perf_counter()
+        out = _block(fn(p, o_i))
+        times.append(time.perf_counter() - t0)
+    seconds_per_pulse = min(times) / batch
+
+    # parity vs the analytic closed forms (single train each)
+    for dd_type, closed in (('cpmg', analytic.CPMG), ('udd', analytic.UDD)):
+        pulse = arrays[dd_type]
+        one = functional.make_pulse_arrays(pulse)
+        ff_got = np.asarray(jax.jit(
+            lambda q, w: (lambda c: (c.re**2 + c.im**2).sum(axis=1))(
+                functional.control_matrix(q, w)))(one, omega_j))[0]
+        want = closed(omega * tau, n) / omega**2
+        parities[dd_type] = float(np.abs(ff_got - want).max())
+
+    try:
+        ref = _install_reference()
+        base_ref = arrays['cpmg']
+
+        def build_and_eval(scale):
+            rp = ref.PulseSequence.from_arrays(
+                base_ref.c_opers, base_ref.c_oper_identifiers,
+                base_ref.c_coeffs / scale, base_ref.n_opers,
+                base_ref.n_oper_identifiers, base_ref.n_coeffs,
+                base_ref.dt * scale)
+            return rp.get_filter_function(omega)
+
+        build_and_eval(1.0)
+        ref_seconds = _min_time(
+            lambda i: build_and_eval(1.0 + 1e-3 * i), 3)
+    except Exception as err:
+        print(f'# reference timing unavailable: {err}', file=sys.stderr)
+        ref_seconds = None
+
+    return {
+        'metric': (f'CPMG/UDD-{n} dephasing FF ({n_omega} frequencies, '
+                   f'batch {batch}); max |FF - analytic closed form|: '
+                   f'CPMG {parities["cpmg"]:.2e}, UDD '
+                   f'{parities["udd"]:.2e}'),
+        'value': seconds_per_pulse * 1e3,
+        'unit': 'ms/pulse',
+        'vs_baseline': (ref_seconds / seconds_per_pulse
+                        if ref_seconds else float('nan')),
+    }
+
+
+# -----------------------------------------------------------------------------
+# second_order: cumulant function / error transfer matrix
+# -----------------------------------------------------------------------------
+def config_second_order(iters=3, n_omega=200):
+    import filter_functions_tpu as ff_tpu
+
+    rng = np.random.default_rng(7)
+    d, n_dt = 4, 8
+
+    def herm_traceless(k):
+        a = rng.standard_normal((k, d, d)) + 1j * rng.standard_normal(
+            (k, d, d))
+        a = (a + a.conj().swapaxes(-1, -2)) / 2
+        return a - (np.trace(a, axis1=-2, axis2=-1)[:, None, None]
+                    * np.eye(d) / d)
+
+    c_opers, n_opers = herm_traceless(2), herm_traceless(2)
+    c_coeffs = rng.standard_normal((2, n_dt))
+    n_coeffs = np.ones((2, n_dt))
+    dt = 1 - rng.random(n_dt)
+    omega = np.geomspace(1e-1, 1e1, n_omega)
+    spectrum = 1e-4 / omega
+
+    def ours(i):
+        pulse = ff_tpu.PulseSequence.from_arrays(
+            c_opers, np.array(['A', 'B']),
+            c_coeffs * (1.0 + 1e-3 * i), n_opers,
+            np.array(['a', 'b']), n_coeffs, dt)
+        out = ff_tpu.error_transfer_matrix(pulse, spectrum, omega,
+                                           second_order=True)
+        return _block(out)
+
+    ours_etm = np.asarray(ours(0))          # warm compile, i=0
+    seconds = _min_time(ours, iters)
+
+    try:
+        ref = _install_reference()
+
+        def theirs(i):
+            rp = ref.PulseSequence.from_arrays(
+                c_opers, np.array(['A', 'B']),
+                c_coeffs * (1.0 + 1e-3 * i), n_opers,
+                np.array(['a', 'b']), n_coeffs, dt)
+            return ref.error_transfer_matrix(rp, spectrum, omega,
+                                             second_order=True)
+
+        ref_etm = theirs(0)
+        ref_seconds = _min_time(theirs, iters)
+        parity = float(np.abs(ours_etm - ref_etm).max())
+    except Exception as err:
+        print(f'# reference timing unavailable: {err}', file=sys.stderr)
+        ref_seconds, parity = None, float('nan')
+
+    return {
+        'metric': ('second-order cumulant / error transfer matrix '
+                   f'(d=4, {n_dt} segments, {n_omega} frequencies); '
+                   f'max element parity vs reference {parity:.2e}'),
+        'value': seconds * 1e3,
+        'unit': 'ms/evaluation',
+        'vs_baseline': (ref_seconds / seconds
+                        if ref_seconds else float('nan')),
+    }
+
+
+# -----------------------------------------------------------------------------
+# rb: randomized benchmarking over random Clifford sequences
+# -----------------------------------------------------------------------------
+def config_rb(iters=3, n_seq=128, length=20, n_omega=301):
+    import jax.numpy as jnp
+    from filter_functions_tpu.models import rb
+
+    rng = np.random.default_rng(0)
+    seqs = []
+    for _ in range(n_seq):
+        idx, rec = rb.sample_sequence(length, rng)
+        seqs.append(idx + [rec])
+    seqs = np.asarray(seqs)
+    omega = np.geomspace(1e-2, 1e2, n_omega)
+    spectrum = 1e-3 / omega
+
+    got = _block(rb.batched_rb_infidelities(seqs, omega, spectrum))
+
+    def ours(i):
+        s = spectrum * (1.0 + 1e-14 * (i + 1))
+        return _block(rb.batched_rb_infidelities(seqs, omega, s))
+
+    seconds_per_seq = _min_time(ours, iters) / n_seq
+
+    try:
+        ref = _install_reference()
+        # the reference approach: 24 cached atomic pulses, one
+        # concatenate per sequence (time a subsample, it is per-seq
+        # linear)
+        sub = min(8, n_seq)
+        pulses_ref = []
+        from filter_functions_tpu.models.rb import (clifford_group,
+                                                    clifford_pulses)
+        ours_pulses = clifford_pulses()
+        for p in ours_pulses:
+            rp = ref.PulseSequence.from_arrays(
+                p.c_opers, p.c_oper_identifiers, p.c_coeffs,
+                p.n_opers, p.n_oper_identifiers, p.n_coeffs, p.dt)
+            rp.cache_filter_function(omega)
+            pulses_ref.append(rp)
+
+        def eval_ref_seq(s):
+            seq = [pulses_ref[i] for i in s]
+            pulse = ref.concatenate(seq)
+            return ref.infidelity(pulse, spectrum, omega)
+
+        want = np.array([float(np.asarray(eval_ref_seq(s)).ravel()[0])
+                         for s in seqs[:sub]])
+        t0 = time.perf_counter()
+        for s in seqs[:sub]:
+            eval_ref_seq(s)
+        ref_seconds_per_seq = (time.perf_counter() - t0) / sub
+        parity = float(np.abs(np.asarray(got)[:sub] - want).max())
+    except Exception as err:
+        print(f'# reference timing unavailable: {err}', file=sys.stderr)
+        ref_seconds_per_seq, parity = None, float('nan')
+
+    return {
+        'metric': (f'randomized benchmarking: {n_seq} Clifford sequences '
+                   f'of length {length} ({n_omega} frequencies), batched '
+                   'single-jit evaluation; infidelity parity vs reference '
+                   f'concatenation {parity:.2e}'),
+        'value': seconds_per_seq * 1e3,
+        'unit': 'ms/sequence',
+        'vs_baseline': (ref_seconds_per_seq / seconds_per_seq
+                        if ref_seconds_per_seq else float('nan')),
+    }
+
+
+# -----------------------------------------------------------------------------
+# grad: batched analytic infidelity derivatives
+# -----------------------------------------------------------------------------
+def config_grad(iters=3, batch=16, n_omega=200):
+    import jax
+    import jax.numpy as jnp
+    from filter_functions_tpu import functional, util
+    from filter_functions_tpu.basis import Basis
+    from filter_functions_tpu.cplx import asc
+
+    X, Y, Z = util.paulis[1:]
+    rng = np.random.default_rng(3)
+    n_dt = 8
+    c_opers = np.stack([X / 2, Y / 2])
+    n_opers = (Z / 2)[None]
+    c_coeffs = rng.standard_normal((batch, 2, n_dt))
+    n_coeffs = np.ones((batch, 1, n_dt))
+    dt = np.broadcast_to(1 - rng.random(n_dt), (batch, n_dt)).copy()
+    omega = np.geomspace(1e-2, 1e2, n_omega)
+    spectrum = 1e-3 / omega
+
+    p = functional.PulseArrays(
+        asc(c_opers), jnp.asarray(c_coeffs), asc(n_opers),
+        jnp.asarray(n_coeffs), jnp.asarray(dt), Basis.ggm(2).dev)
+    omega_j, spectrum_j = jnp.asarray(omega), jnp.asarray(spectrum)
+
+    # analytic derivative of every pulse in the batch wrt its control
+    # coefficients, in one reverse-mode pass
+    grad_fn = jax.jit(jax.grad(
+        lambda c: functional.batched_infidelity(
+            functional.PulseArrays(p.c_opers, c, p.n_opers, p.n_coeffs,
+                                   p.dt, p.basis),
+            spectrum_j, omega_j).sum()))
+    g0 = _block(grad_fn(p.c_coeffs))
+
+    def ours(i):
+        c_i = p.c_coeffs * (1.0 + 1e-14 * (i + 1))
+        return _block(grad_fn(c_i))
+
+    seconds_per_pulse = _min_time(ours, iters) / batch
+
+    try:
+        import filter_functions_tpu as ff_tpu
+        from filter_functions_tpu import gradient
+        ref = _install_reference()
+        from filter_functions import gradient as ref_gradient
+
+        def build(mod, b):
+            return mod.PulseSequence(
+                [[X / 2, c_coeffs[b, 0], 'X'], [Y / 2, c_coeffs[b, 1], 'Y']],
+                [[Z / 2, n_coeffs[b, 0], 'Z']], dt[b])
+
+        # parity: jax.grad == our analytic module == reference analytic
+        ours_analytic = np.asarray(gradient.infidelity_derivative(
+            build(ff_tpu, 0), spectrum, omega))
+        ref_analytic = ref_gradient.infidelity_derivative(
+            build(ref, 0), spectrum, omega)
+        # derivative layouts: ours (n_nops, n_dt, n_ctrl)
+        parity_ref = float(np.abs(ours_analytic - ref_analytic).max())
+        jax_g0 = np.asarray(g0)[0]                  # (n_ctrl, n_dt)
+        parity_jax = float(np.abs(
+            jax_g0.T - np.asarray(ours_analytic).sum(axis=0)).max())
+
+        def theirs(i):
+            rp = build(ref, i % batch)
+            return ref_gradient.infidelity_derivative(rp, spectrum, omega)
+
+        theirs(0)
+        ref_seconds = _min_time(theirs, iters)
+    except Exception as err:
+        print(f'# reference timing unavailable: {err}', file=sys.stderr)
+        ref_seconds, parity_ref, parity_jax = None, float('nan'), \
+            float('nan')
+
+    return {
+        'metric': ('batched analytic infidelity derivatives (batch '
+                   f'{batch}, {n_dt} segments, {n_omega} frequencies, '
+                   'reverse-mode); parity vs reference analytic '
+                   f'{parity_ref:.2e}, jax.grad vs analytic '
+                   f'{parity_jax:.2e}'),
+        'value': seconds_per_pulse * 1e3,
+        'unit': 'ms/pulse',
+        'vs_baseline': (ref_seconds / seconds_per_pulse
+                        if ref_seconds else float('nan')),
+    }
+
+
+CONFIGS = {
+    'qft': config_qft,
+    'hadamard': config_hadamard,
+    'dd': config_dd,
+    'second_order': config_second_order,
+    'rb': config_rb,
+    'grad': config_grad,
+}
 
 
 def main():
@@ -115,6 +558,11 @@ def main():
     parser.add_argument('--cpu', action='store_true')
     parser.add_argument('--quick', action='store_true')
     parser.add_argument('--iters', type=int, default=5)
+    parser.add_argument('--config', choices=sorted(CONFIGS), default=None)
+    parser.add_argument('--all', action='store_true')
+    parser.add_argument('--record-baseline', action='store_true',
+                        help="run --all and write results into "
+                             "BASELINE.json 'published'")
     args = parser.parse_args()
 
     global N_OMEGA, BATCH
@@ -124,46 +572,32 @@ def main():
     import jax
     if args.cpu:
         jax.config.update('jax_platforms', 'cpu')
+        jax.config.update('jax_enable_x64', True)
     else:
         from filter_functions_tpu import config
         config.enable_host_cpu()
 
-    pulse, p, batched, omega, spectrum = build_inputs()
-    seconds_per_pulse, infids = time_ours(batched, omega, spectrum,
-                                          args.iters)
+    if args.record_baseline or args.all:
+        names = list(CONFIGS)
+    elif args.config:
+        names = [args.config]
+    else:
+        names = ['qft']
 
-    # Host-side arrays for the reference build
-    global _basis_np
-    _basis_np = pulse.basis.np
-    host_arrays = (pulse.c_opers, pulse.c_oper_identifiers,
-                   pulse.c_coeffs, pulse.n_opers,
-                   pulse.n_oper_identifiers, pulse.n_coeffs, pulse.dt)
-    try:
-        ref_seconds, ref_infid = time_reference(host_arrays, omega,
-                                                spectrum)
-        # parity on the unperturbed pulse (batch entry uses scaled
-        # coefficients, so recompute unscaled for comparison)
-        from filter_functions_tpu import functional
-        import jax.numpy as jnp
-        ours_infid = np.asarray(jax.jit(functional.infidelity)(
-            p, jnp.asarray(spectrum), jnp.asarray(omega)))
-        parity = float(np.abs(ours_infid - ref_infid).max())
-    except Exception as err:  # reference unavailable
-        print(f'# reference timing unavailable: {err}', file=sys.stderr)
-        ref_seconds = RECORDED_REF_SECONDS
-        parity = float('nan')
+    results = {}
+    for name in names:
+        results[name] = CONFIGS[name]()
+        print(json.dumps(results[name]), flush=True)
 
-    vs_baseline = (ref_seconds / seconds_per_pulse
-                   if ref_seconds else float('nan'))
-    result = {
-        'metric': ('batched 4-qubit QFT filter function + infidelity '
-                   f'({N_OMEGA} frequencies, batch {BATCH}); '
-                   f'infidelity parity vs reference {parity:.2e}'),
-        'value': seconds_per_pulse * 1e3,
-        'unit': 'ms/pulse',
-        'vs_baseline': vs_baseline,
-    }
-    print(json.dumps(result))
+    if args.record_baseline:
+        baseline_path = REPO / 'BASELINE.json'
+        baseline = json.loads(baseline_path.read_text())
+        baseline['published'] = {
+            'recorded': time.strftime('%Y-%m-%d'),
+            'results': results,
+        }
+        baseline_path.write_text(json.dumps(baseline, indent=2) + '\n')
+        print(f'# recorded to {baseline_path}', file=sys.stderr)
 
 
 if __name__ == '__main__':

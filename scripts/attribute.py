@@ -1,0 +1,140 @@
+"""Stage attribution for the flagship QFT benchmark.
+
+Method (doc/performance.md): for each stage in isolation, jit one
+function containing k in-line replicas of the stage, each fed a
+distinctly jittered copy of the stage's own input (so XLA cannot CSE
+the replicas and the backend cannot memoize); the (k_hi - k_lo) slope
+is the marginal cost of the stage, independent of dispatch overhead.
+Per-stage graphs are small, so compiles stay cheap on the remote
+backend.
+
+Run: python scripts/attribute.py [--cpu]
+"""
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+K_LO, K_HI = 1, 5
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--cpu', action='store_true')
+    args = parser.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update('jax_platforms', 'cpu')
+        jax.config.update('jax_enable_x64', True)
+    else:
+        from filter_functions_tpu import config
+        config.enable_host_cpu()
+
+    import jax.numpy as jnp
+    from filter_functions_tpu import numeric, util
+    from filter_functions_tpu.cplx import ceinsum
+
+    from bench import build_inputs
+    _, p, _, omega, spectrum = build_inputs()
+    omega = jnp.asarray(omega)
+    spectrum = jnp.asarray(spectrum)
+
+    # ---- precompute every intermediate once ----
+    @jax.jit
+    def intermediates(c_coeffs):
+        ham = ceinsum('jmn,jg->gmn', p.c_opers, c_coeffs)
+        eigvals, eigvecs, propagators = numeric._diagonalize_jit(ham, p.dt)
+        ev_prop = numeric._propagate_eigenvectors(propagators[:-1], eigvecs)
+        n_t = numeric._transform_hamiltonian(eigvecs, p.n_opers, p.n_coeffs)
+        b_t = ceinsum('gba,kbc,gcd->gkad', ev_prop.conj(), p.basis, ev_prop)
+        t = jnp.concatenate([jnp.zeros(1, p.dt.dtype), jnp.cumsum(p.dt)])
+        ph = numeric.cexp(t[:-1, None] * omega[None, :])
+        integral = numeric._first_order_integral_batched(omega, eigvals,
+                                                         p.dt)
+        ctrl = numeric._ctrlmat_contract(n_t, integral, b_t, ph)
+        return dict(ham=ham, eigvals=eigvals, eigvecs=eigvecs,
+                    propagators=propagators, ev_prop=ev_prop, n_t=n_t,
+                    b_t=b_t, ph=ph, integral=integral, ctrl=ctrl)
+
+    iv = jax.block_until_ready(intermediates(p.c_coeffs))
+
+    def jitter(x, eps):
+        import jax as _j
+        from filter_functions_tpu.cplx import C as _C
+        return _j.tree.map(lambda a: a * (1.0 + eps), x)
+
+    def reduce_out(x):
+        import jax as _j
+        leaves = _j.tree.leaves(x)
+        return sum(l.sum() for l in leaves)
+
+    # ---- stages: (name, fn, primary input key) ----
+    def s_diag(x):
+        return numeric._diagonalize_jit(x, p.dt)
+
+    def s_transforms(x):
+        ev, props = x
+        out1 = numeric._propagate_eigenvectors(props[:-1], ev)
+        out2 = numeric._transform_hamiltonian(ev, p.n_opers, p.n_coeffs)
+        return out1, out2
+
+    def s_basis_t(x):
+        return ceinsum('gba,kbc,gcd->gkad', x.conj(), p.basis, x)
+
+    def s_integral(x):
+        t = jnp.concatenate([jnp.zeros(1, p.dt.dtype), jnp.cumsum(p.dt)])
+        ph = numeric.cexp(t[:-1, None] * omega[None, :])
+        return ph, numeric._first_order_integral_batched(omega, x, p.dt)
+
+    def s_contract(x):
+        n_t, integral, b_t, ph = x
+        return numeric._ctrlmat_contract(n_t, integral, b_t, ph)
+
+    def s_ff_integrate(x):
+        diag = (x.re**2 + x.im**2).sum(axis=1)
+        return util.integrate(diag * spectrum, omega)
+
+    stages = [
+        ('diag(eigh+prop)', s_diag, iv['ham']),
+        ('transforms', s_transforms, (iv['eigvecs'], iv['propagators'])),
+        ('basis_transform', s_basis_t, iv['ev_prop']),
+        ('phase+integral', s_integral, iv['eigvals']),
+        ('contract', s_contract,
+         (iv['n_t'], iv['integral'], iv['b_t'], iv['ph'])),
+        ('ff+integrate', s_ff_integrate, iv['ctrl']),
+    ]
+
+    def timed(fn, x, k):
+        def rep(x):
+            out = 0.0
+            for i in range(k):
+                out = out + reduce_out(fn(jitter(x, 1e-14 * (i + 1))))
+            return out
+        j = jax.jit(rep)
+        jax.block_until_ready(j(x))
+        times = []
+        for i in range(4):
+            xi = jax.block_until_ready(jitter(x, 1e-13 * (i + 1)))
+            t0 = time.perf_counter()
+            jax.block_until_ready(j(xi))
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    print(f'{"stage":<18} {"marginal ms":>12}', flush=True)
+    total = 0.0
+    for name, fn, x in stages:
+        t_lo = timed(fn, x, K_LO)
+        t_hi = timed(fn, x, K_HI)
+        marginal = (t_hi - t_lo) / (K_HI - K_LO) * 1e3
+        total += marginal
+        print(f'{name:<18} {marginal:>12.2f}', flush=True)
+    print(f'{"TOTAL":<18} {total:>12.2f}', flush=True)
+
+
+if __name__ == '__main__':
+    main()
