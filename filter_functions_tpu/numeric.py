@@ -314,7 +314,7 @@ def _ctrlmat_contract(n_opers_transformed, integral, basis_transformed,
         return ceinsum('go,jgmn,gomn,gknm->jko', phase_factors,
                        n_opers_transformed, integral, basis_transformed)
 
-    from .ops.ozaki import ozaki_matmul
+    from .ops.ozaki import ozaki_matmul_c
     G, n_w, d, _ = integral.shape
     n_nops = n_opers_transformed.shape[0]
     n_basis = basis_transformed.shape[1]
@@ -336,13 +336,9 @@ def _ctrlmat_contract(n_opers_transformed, integral, basis_transformed,
         lambda x: x.transpose(1, 0, 2).reshape(n_w, G * d * d))
     d_big = d_mat.reshape(G * d * d, n_nops * n_basis)
 
-    def gauss(a, b):
-        p1 = ozaki_matmul(a.re, b.re)
-        p2 = ozaki_matmul(a.im, b.im)
-        p3 = ozaki_matmul(a.re + a.im, b.re + b.im)
-        return C(p1 - p2, p3 - p1 - p2)
-
-    out = gauss(p_big, d_big).reshape(n_w, n_nops, n_basis)
+    out_re, out_im = ozaki_matmul_c(p_big.re, p_big.im,
+                                    d_big.re, d_big.im)
+    out = C(out_re, out_im).reshape(n_w, n_nops, n_basis)
     return out._map(lambda x: x.transpose(1, 2, 0))        # (j, k, o)
 
 

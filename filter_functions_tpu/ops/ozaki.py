@@ -40,7 +40,7 @@ import numpy as np
 
 import os
 
-__all__ = ['ozaki_matmul', 'DEFAULT_PRECISION_BITS']
+__all__ = ['ozaki_matmul', 'ozaki_matmul_c', 'DEFAULT_PRECISION_BITS']
 
 #: Truncation level; override with FF_TPU_OZAKI_BITS.
 DEFAULT_PRECISION_BITS = int(os.environ.get('FF_TPU_OZAKI_BITS', '30'))
@@ -53,12 +53,41 @@ _MAX_SLICE_BITS = 8
 def _slice_fixed_point(x: jnp.ndarray, axis: int, n_slices: int,
                        slice_bits: int):
     """Split x into n_slices bf16 integer 'digit' slices with a
-    per-vector power-of-two scale (error-free)."""
+    per-vector power-of-two scale (error-free).
+
+    Digit extraction runs in native integer arithmetic when the total
+    digit width fits an int32/int64: one exact f64 multiply+round to a
+    fixed-point integer, then shift/mask per digit.  The float cascade
+    (round, subtract, scale per digit) costs ~3 software-emulated f64
+    passes per digit on TPU and is kept only as the wide fallback.
+    """
     radix = float(2**slice_bits)
     absmax = jnp.max(jnp.abs(x), axis=axis, keepdims=True)
     exp = jnp.ceil(jnp.log2(jnp.where(absmax > 0, absmax, 1.0)))
     scale = jnp.exp2(exp - slice_bits)
     y = x / scale
+    total_bits = n_slices * slice_bits
+    if total_bits <= 30:
+        int_dtype = jnp.int32
+    elif total_bits <= 52 and jnp.zeros((), jnp.float64).dtype == \
+            jnp.float64:
+        int_dtype = jnp.int64
+    else:
+        int_dtype = None
+    if int_dtype is not None:
+        # |y| <= 2^slice_bits, so z = round(y * 2^(bits*(n-1))) fits in
+        # total_bits + 1 bits (exact in f64 for total_bits <= 52)
+        z = jnp.round(y * float(2**(slice_bits * (n_slices - 1)))
+                      ).astype(int_dtype)
+        slices = []
+        for k in range(n_slices - 1, 0, -1):
+            shift = slice_bits * k
+            half = jnp.asarray(1 << (shift - 1), int_dtype)
+            d = (z + half) >> shift            # round-half-up digit
+            slices.append(d.astype(jnp.bfloat16))
+            z = z - (d << shift)
+        slices.append(z.astype(jnp.bfloat16))
+        return slices, scale
     slices = []
     for _ in range(n_slices):
         s = jnp.round(y)
@@ -114,17 +143,25 @@ def _ozaki_matmul_impl(a: jnp.ndarray, b: jnp.ndarray,
             out = term if out is None else out + term
         return out
 
+    slice_bits, n_slices = _slice_params(K, precision_bits)
+    a_sl, a_scale = _slice_fixed_point(a, -1, n_slices, slice_bits)
+    b_sl, b_scale = _slice_fixed_point(b, -2, n_slices, slice_bits)
+    out = _matmul_from_slices(a_sl, b_sl, slice_bits, a.ndim)
+    return out * a_scale * b_scale
+
+
+def _slice_params(K: int, precision_bits: int) -> Tuple[int, int]:
     slice_bits = min(_MAX_SLICE_BITS,
                      (_ACC_BITS - math.ceil(math.log2(max(K, 2)))) // 2)
     max_level = max(1, -(-precision_bits // slice_bits) - 1)
-    n_slices = max_level + 1
+    return slice_bits, max_level + 1
 
-    a_sl, a_scale = _slice_fixed_point(a, -1, n_slices, slice_bits)
-    b_sl, b_scale = _slice_fixed_point(b, -2, n_slices, slice_bits)
 
-    batch = tuple(range(a.ndim - 2))
-    dims = (((a.ndim - 1,), (a.ndim - 2,)), (batch, batch))
-
+def _matmul_from_slices(a_sl, b_sl, slice_bits: int, ndim: int):
+    """sum_{i+j <= L} 2^{-slice_bits (i+j)} A_i @ B_j on the MXU."""
+    n_slices = len(a_sl)
+    batch = tuple(range(ndim - 2))
+    dims = (((ndim - 1,), (ndim - 2,)), (batch, batch))
     out = None
     for s in range(n_slices):
         # sum_{i+j=s} A_i @ B_j: each product is exact in f32; the
@@ -137,7 +174,7 @@ def _ozaki_matmul_impl(a: jnp.ndarray, b: jnp.ndarray,
             level = prod if level is None else level + prod
         term = level * (2.0**(-slice_bits * s))
         out = term if out is None else out + term
-    return out * a_scale * b_scale
+    return out
 
 
 def _ozaki_fwd(a, b, precision_bits):
@@ -153,3 +190,97 @@ def _ozaki_bwd(precision_bits, res, g):
 
 
 ozaki_matmul.defvjp(_ozaki_fwd, _ozaki_bwd)
+
+
+# -----------------------------------------------------------------------------
+# Complex (split re/im) Ozaki matmul with shared slice decompositions
+# -----------------------------------------------------------------------------
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def ozaki_matmul_c(a_re, a_im, b_re, b_im,
+                   precision_bits: int = DEFAULT_PRECISION_BITS):
+    """Complex ``a @ b`` on split operands via Gauss 3-multiplication,
+    slicing each real component ONCE and reusing the decompositions
+    across the three products.  Calling :func:`ozaki_matmul` three times
+    (as a naive Gauss would) re-slices every operand per product; the
+    slicing is f64-elementwise-bound on TPU and dominates for large N.
+
+    Returns (re, im) of shape (..., M, N).
+    """
+    return _ozaki_matmul_c_impl(a_re, a_im, b_re, b_im, precision_bits)
+
+
+@functools.partial(jax.jit, static_argnames=('precision_bits',))
+def _ozaki_matmul_c_impl(a_re, a_im, b_re, b_im,
+                         precision_bits: int = DEFAULT_PRECISION_BITS):
+    K = a_re.shape[-1]
+    if K > _MAX_K:
+        # chunk the reduction exactly as the real path does
+        n_chunks = -(-K // _MAX_K)
+        pad = n_chunks * _MAX_K - K
+
+        def chunk_a(a):
+            a_c = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
+            return jnp.moveaxis(
+                a_c.reshape(a.shape[:-1] + (n_chunks, _MAX_K)), -2, 0)
+
+        def chunk_b(b):
+            b_c = jnp.pad(b, [(0, 0)] * (b.ndim - 2) + [(0, pad), (0, 0)])
+            return jnp.moveaxis(
+                b_c.reshape(b.shape[:-2] + (n_chunks, _MAX_K,
+                                            b.shape[-1])), -3, 0)
+
+        ar, ai, br, bi = (chunk_a(a_re), chunk_a(a_im),
+                          chunk_b(b_re), chunk_b(b_im))
+        out_re = out_im = None
+        for c in range(n_chunks):
+            t_re, t_im = _ozaki_matmul_c_impl(ar[c], ai[c], br[c], bi[c],
+                                              precision_bits)
+            out_re = t_re if out_re is None else out_re + t_re
+            out_im = t_im if out_im is None else out_im + t_im
+        return out_re, out_im
+
+    slice_bits, n_slices = _slice_params(K, precision_bits)
+    ndim = a_re.ndim
+
+    def sl_a(x):
+        return _slice_fixed_point(x, -1, n_slices, slice_bits)
+
+    def sl_b(x):
+        return _slice_fixed_point(x, -2, n_slices, slice_bits)
+
+    ar_sl, ar_sc = sl_a(a_re)
+    ai_sl, ai_sc = sl_a(a_im)
+    as_sl, as_sc = sl_a(a_re + a_im)
+    br_sl, br_sc = sl_b(b_re)
+    bi_sl, bi_sc = sl_b(b_im)
+    bs_sl, bs_sc = sl_b(b_re + b_im)
+
+    p1 = _matmul_from_slices(ar_sl, br_sl, slice_bits, ndim) \
+        * (ar_sc * br_sc)
+    p2 = _matmul_from_slices(ai_sl, bi_sl, slice_bits, ndim) \
+        * (ai_sc * bi_sc)
+    p3 = _matmul_from_slices(as_sl, bs_sl, slice_bits, ndim) \
+        * (as_sc * bs_sc)
+    return p1 - p2, p3 - p1 - p2
+
+
+def _ozaki_c_fwd(a_re, a_im, b_re, b_im, precision_bits):
+    return (_ozaki_matmul_c_impl(a_re, a_im, b_re, b_im, precision_bits),
+            (a_re, a_im, b_re, b_im))
+
+
+def _ozaki_c_bwd(precision_bits, res, g):
+    a_re, a_im, b_re, b_im = res
+    g_re, g_im = g
+    # da = g @ conj(b)^T, db = conj(a)^T @ g (complex product rules on
+    # split components)
+    bt_re, bt_im = b_re.swapaxes(-1, -2), b_im.swapaxes(-1, -2)
+    at_re, at_im = a_re.swapaxes(-1, -2), a_im.swapaxes(-1, -2)
+    da_re, da_im = _ozaki_matmul_c_impl(g_re, g_im, bt_re, -bt_im,
+                                        precision_bits)
+    db_re, db_im = _ozaki_matmul_c_impl(at_re, -at_im, g_re, g_im,
+                                        precision_bits)
+    return da_re, da_im, db_re, db_im
+
+
+ozaki_matmul_c.defvjp(_ozaki_c_fwd, _ozaki_c_bwd)
