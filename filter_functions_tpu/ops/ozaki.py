@@ -65,7 +65,9 @@ def _slice_fixed_point(x: jnp.ndarray, axis: int, n_slices: int,
     absmax = jnp.max(jnp.abs(x), axis=axis, keepdims=True)
     exp = jnp.ceil(jnp.log2(jnp.where(absmax > 0, absmax, 1.0)))
     scale = jnp.exp2(exp - slice_bits)
-    y = x / scale
+    # multiply by the exact power-of-two reciprocal: an emulated-f64
+    # divide costs several times an emulated multiply on TPU
+    y = x * jnp.exp2(jnp.asarray(slice_bits, x.dtype) - exp)
     total_bits = n_slices * slice_bits
     if total_bits <= 30:
         int_dtype = jnp.int32
