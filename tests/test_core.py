@@ -371,6 +371,101 @@ class TestConstructionNegativePaths:
 
 
 class TestExplicitCacheSeeding:
+    def test_reference_constructor_negative_matrix(self):
+        """The full negative surface the reference constructor test pins
+        (reference tests/test_core.py:42-222)."""
+        base = rand_pulse_sequence(2, 5, 3, 3)
+        X = sigma[1]
+
+        def H_c():
+            return [[o, c, i] for o, c, i in
+                    zip(base.c_opers, base.c_coeffs,
+                        base.c_oper_identifiers)]
+
+        def H_n():
+            return [[o, c, i] for o, c, i in
+                    zip(base.n_opers, base.n_coeffs,
+                        base.n_oper_identifiers)]
+
+        dt = np.asarray(base.dt)
+        # missing dt
+        with pytest.raises(TypeError):
+            ff.PulseSequence(H_c(), H_n())
+        # dt scalar
+        with pytest.raises(TypeError):
+            ff.PulseSequence(H_c(), H_n(), dt[0])
+        # control / noise Hamiltonian not a sequence
+        with pytest.raises(TypeError):
+            ff.PulseSequence(15, H_n(), dt)
+        with pytest.raises(TypeError):
+            ff.PulseSequence(H_c(), 15, dt)
+        # Hamiltonian element not a sequence
+        for bad in ({'oper': X}, 15):
+            hc = H_c()
+            hc[1] = bad
+            with pytest.raises(TypeError):
+                ff.PulseSequence(hc, H_n(), dt)
+            hn = H_n()
+            hn[1] = bad
+            with pytest.raises(TypeError):
+                ff.PulseSequence(H_c(), hn, dt)
+        # operator of wrong type
+        hc = H_c()
+        hc[0][0] = {'no': 'oper'}
+        with pytest.raises(TypeError):
+            ff.PulseSequence(hc, H_n(), dt)
+        # coefficients a scalar
+        hc = H_c()
+        hc[0][1] = float(hc[0][1][0])
+        with pytest.raises(TypeError):
+            ff.PulseSequence(hc, H_n(), dt)
+        # operators not square
+        hc = H_c()
+        hc[0][0] = np.tile(np.asarray(hc[0][0]).reshape(1, 4), (2, 1))
+        with pytest.raises(ValueError):
+            ff.PulseSequence(hc, H_n(), dt)
+        # control and noise dimensions differ
+        hn = H_n()
+        o = np.asarray(hn[0][0])
+        hn = [[np.kron(np.eye(2), np.asarray(h[0])), h[1], h[2]]
+              for h in H_n()]
+        with pytest.raises(ValueError):
+            ff.PulseSequence(H_c(), hn, dt)
+        del o
+        # non-unique identifiers (control and noise)
+        hc = H_c()
+        hc[1][2] = hc[0][2]
+        with pytest.raises(ValueError):
+            ff.PulseSequence(hc, H_n(), dt)
+        hn = H_n()
+        hn[1][2] = hn[0][2]
+        with pytest.raises(ValueError):
+            ff.PulseSequence(H_c(), hn, dt)
+        # coefficient length != len(dt), both Hamiltonians
+        hc = H_c()
+        hc[0][1] = hc[0][1][:-2]
+        with pytest.raises(ValueError):
+            ff.PulseSequence(hc, H_n(), dt)
+        hn = H_n()
+        hn[0][1] = hn[0][1][:-2]
+        with pytest.raises(ValueError):
+            ff.PulseSequence(H_c(), hn, dt)
+        # the valid pulse constructs, and __str__/__repr__ work
+        pulse = ff.PulseSequence(H_c(), H_n(), dt)
+        repr(pulse)
+        str(pulse)
+
+    def test_mixed_auto_and_explicit_identifiers(self):
+        """Fewer identifiers than operators: auto names fill the gaps
+        and sorting interleaves them (reference test_core.py:214-222)."""
+        X, Y = sigma[1], sigma[2]
+        pulse = ff.PulseSequence(
+            [[X, [1], 'X'], [Y, [1]]],
+            [[X, [1]], [Y, [1], 'Y']],
+            [1])
+        assert list(pulse.c_oper_identifiers) == ['A_1', 'X']
+        assert list(pulse.n_oper_identifiers) == ['B_0', 'Y']
+
     def test_cache_filter_function_explicit_value(self):
         p1 = rand_pulse_sequence(2, 3)
         p2 = copy.copy(p1)
