@@ -70,6 +70,150 @@ class TestConstructors:
                         + 1j * rng.standard_normal((2, 3, 3)))
         assert not nonherm.isherm
 
+    def test_constructor_failure_modes(self):
+        """Failure modes pinned by reference tests/test_basis.py:42-99."""
+        with pytest.raises(TypeError):
+            Basis(1)
+        with pytest.raises(TypeError):
+            Basis([np.eye(2), object()])
+        # too many elements
+        with pytest.raises(ValueError):
+            Basis(rng.standard_normal((5, 2, 2)))
+        # non-traceless elems but traceless basis requested
+        with pytest.raises(ValueError):
+            Basis(np.ones((2, 2)), traceless=True)
+        with pytest.raises(ValueError):
+            Basis.from_partial(np.ones((1, 2, 2)) / np.sqrt(2),
+                               traceless=True)
+        # wrong number of labels
+        from filter_functions_tpu import util
+        with pytest.raises(ValueError):
+            Basis(util.paulis, labels=['a', 'b', 'c'])
+        with pytest.raises(ValueError):
+            Basis.from_partial(Basis.pauli(1)[:2], labels=['a', 'b', 'c'])
+
+    def test_constructor_2d_element(self):
+        # single 2d element becomes a 3d (1, d, d) basis
+        b = Basis(rng.standard_normal((2, 2)))
+        assert b.shape == (1, 2, 2)
+        # the identity alone is traceless-up-to-identity
+        assert Basis(np.eye(2), traceless=False) == \
+            Basis(np.eye(2), traceless=True)
+
+    def test_constructor_from_basis(self):
+        inner = Basis.ggm(2)
+        b = Basis(inner)
+        assert b == inner and b.btype == 'GGM'
+        # slicing a Basis yields plain arrays usable for construction
+        b2 = Basis(Basis.ggm(2)[1:])
+        assert b2.shape == (3, 2, 2)
+        # construction must not change the elements
+        elems = rng.standard_normal((6, 3, 3))
+        assert_allclose(np.asarray(Basis(elems)), elems, atol=0)
+
+    def test_from_partial_labels(self):
+        from filter_functions_tpu import util
+        # identity label moves to the front
+        b = Basis.from_partial([util.paulis[1] / np.sqrt(2),
+                                util.paulis[0] / np.sqrt(2)],
+                               labels=['x', 'i'])
+        assert b.labels[:2] == ['i', 'x']
+        assert b.labels[2:] == ['$C_{2}$', '$C_{3}$']
+        # labels copied from a Basis input when counts match
+        partial = Basis(Basis.pauli(1)[[1, 3]], labels=['X', 'Z'],
+                        btype='Pauli')
+        b = Basis.from_partial(partial)
+        assert b.labels[:2] == ['X', 'Z']
+        assert b.labels[2:] == ['$C_{2}$', '$C_{3}$']
+
+    def test_from_partial_2d_equals_3d(self):
+        elems = rand_herm(3)
+        b1 = Basis.from_partial(elems, labels=['weif'])
+        b2 = Basis.from_partial(elems.squeeze(), labels=['weif'])
+        assert b1 == b2
+
+    def test_from_partial_nonorthogonal(self):
+        from filter_functions_tpu import util
+        with pytest.raises(ValueError, match='orthogonal'):
+            Basis.from_partial([util.paulis[1],
+                                util.paulis[1] + 0.5 * util.paulis[2]])
+
+    def test_transpose_and_adjoint(self):
+        arr = rng.standard_normal((2, 3, 3)) \
+            + 1j * rng.standard_normal((2, 3, 3))
+        b = Basis(arr)
+        assert_allclose(np.asarray(b.T), arr.swapaxes(-1, -2), atol=0)
+        assert_allclose(np.asarray(b.H), arr.conj().swapaxes(-1, -2),
+                        atol=0)
+        assert b.T.btype == b.btype
+
+    def test_contains_and_eq(self):
+        b = Basis.pauli(1)
+        assert b[2] in b
+        assert rng.standard_normal((2, 2)) not in b
+        assert b == Basis.pauli(1)
+        assert not (b == Basis.ggm(3))          # shape mismatch
+        assert not (b == np.asarray(b) + 1)
+        assert b != 'a string'
+
+    def test_normalize_and_tidyup(self):
+        arr = 3.0 * rand_herm_traceless(3, 2)
+        b = Basis(arr)
+        assert not b.isnorm
+        nb = b.normalize(copy=True)
+        assert nb.isnorm and not b.isnorm
+        b.normalize()
+        assert b.isnorm
+        # tidyup zeroes sub-eps noise and invalidates caches
+        eps = np.finfo(complex).eps
+        noisy = Basis(np.eye(2) + 0.1 * eps)
+        noisy.tidyup()
+        assert_allclose(np.asarray(noisy), np.eye(2)[None], atol=0)
+
+    def test_sparse_property(self):
+        b = Basis.pauli(1)
+        assert_allclose(b.sparse, np.asarray(b), atol=0)
+
+    def test_four_element_traces_too_large(self):
+        b = Basis.ggm(16)
+        with pytest.raises(MemoryError):
+            b.four_element_traces
+
+    def test_single_element_orthogonal(self):
+        d = 5
+        single = Basis(rng.standard_normal((d, d)))
+        assert single.isorthogonal
+        single.normalize()
+        assert single.isorthonorm
+
+    def test_istraceless_variants(self):
+        # traceless + identity counts as traceless
+        assert Basis.pauli(1).istraceless
+        # two traceful elements -> not traceless
+        assert not Basis([np.eye(2), np.diag([2.0, 1.0])]).istraceless
+        # one traceful non-identity element -> not traceless
+        assert not Basis([np.diag([2.0, 1.0])]).istraceless
+        t = rand_herm_traceless(4, 3)
+        assert Basis(t).istraceless
+        t[0, 0, 0] += 1
+        assert not Basis(t).istraceless
+
+    @pytest.mark.skipif(not HAVE_REFERENCE, reason='reference unavailable')
+    def test_from_partial_matches_reference(self):
+        import filter_functions as ref
+        elems = rand_herm_traceless(3, 2)
+        # orthogonalize the two elements against each other
+        elems[1] -= (np.einsum('ij,ij', elems[0].conj(), elems[1])
+                     / np.einsum('ij,ij', elems[0].conj(), elems[0])
+                     ) * elems[0]
+        ours = Basis.from_partial(elems.copy())
+        theirs = ref.Basis.from_partial(elems.copy())
+        # the completion is unique only up to rotations of the added
+        # span; check the fixed part and the characteristics instead
+        assert_allclose(np.asarray(ours)[:2],
+                        np.asarray(theirs)[:2], atol=1e-12)
+        assert ours.isorthonorm and ours.iscomplete and ours.istraceless
+
 
 class TestExpansion:
     @pytest.mark.parametrize('d', [2, 3, 5])

@@ -6,7 +6,7 @@ import pytest
 
 import filter_functions_tpu as ff
 from filter_functions_tpu import util
-from filter_functions_tpu.cplx import C, asc
+from filter_functions_tpu.cplx import C, asc, cexp, cexpm1
 from conftest import HAVE_REFERENCE
 from testutil import assert_allclose, rand_unit, rng
 
@@ -175,6 +175,185 @@ class TestMisc:
         b = a.copy()
         b[b == 0] = -0.0
         assert util.hash_array_along_axis(a) == util.hash_array_along_axis(b)
+
+    def test_cexp(self):
+        """cexp/cexpm1 against np.exp, incl. the cancellation regime
+        (cf. reference tests/test_util.py::test_cexp/test_cexpm1)."""
+        x = rng.uniform(-10, 10, (7, 11))
+        assert_allclose(cexp(x).to_numpy(), np.exp(1j * x), atol=1e-15)
+        got = cexpm1(x).to_numpy()
+        assert_allclose(got, np.exp(1j * x) - 1, atol=1e-15)
+        # tiny arguments: e^{ix}-1 ~ ix; the naive form loses all digits
+        tiny = np.array([1e-9, -3e-12, 1e-15, 0.0])
+        got = cexpm1(tiny).to_numpy()
+        assert_allclose(got.imag, np.sin(tiny), atol=1e-30)
+        assert_allclose(got.real, -2 * np.sin(tiny / 2)**2, rtol=1e-12,
+                        atol=1e-300)
+
+    def test_remove_float_errors(self):
+        for dtype in (np.float64, np.complex128):
+            arr = np.zeros((3, 3), dtype=dtype)
+            eps = np.finfo(arr.real.dtype).eps
+            arr[0, 0] = 0.5 * eps          # below atol=eps*shape[-1]
+            arr[1, 1] = 1.0
+            cleaned = util.remove_float_errors(arr.copy())
+            assert cleaned[0, 0] == 0
+            assert cleaned[1, 1] == 1.0
+            # custom eps_scale
+            arr2 = np.full(4, 10 * eps, dtype=dtype)
+            assert (util.remove_float_errors(arr2.copy(), 100) == 0).all()
+            assert (util.remove_float_errors(arr2.copy(), 1) != 0).all()
+        if np.iscomplexobj(arr):
+            arr[0, 1] = 1j * eps
+            assert util.remove_float_errors(arr.copy())[0, 1] == 0
+
+    def test_parse_optional_parameters(self):
+        @util.parse_optional_parameters(which=('a', 'b'), n=(1, 2))
+        def f(x, which='a', n=1):
+            return which, n
+
+        assert f(0) == ('a', 1)
+        assert f(0, 'b', 2) == ('b', 2)       # positional
+        assert f(0, which='b') == ('b', 1)    # keyword
+        with pytest.raises(ValueError, match='Invalid value for which'):
+            f(0, which='c')
+        with pytest.raises(ValueError, match='Should be one of'):
+            f(0, 'a', 3)
+
+    def test_parse_operators(self):
+        class FakeQobj:
+            def __init__(self, a): self.a = np.asarray(a, dtype=complex)
+            def full(self): return self.a
+
+        class FakeSparse:
+            def __init__(self, a): self.a = np.asarray(a, dtype=complex)
+            def todense(self): return self.a
+
+        class FakeQopt:
+            def __init__(self, a):
+                self.data = np.asarray(a, dtype=complex)
+            def dexp(self): pass
+
+        X = util.paulis[1]
+        out = util.parse_operators(
+            [X, FakeQobj(X), FakeSparse(X), FakeQopt(X), asc(X)], 'test')
+        assert out.shape == (5, 2, 2)
+        for o in out:
+            assert_allclose(o, X, atol=1e-15)
+        with pytest.raises(TypeError, match='test'):
+            util.parse_operators([object()], 'test')
+        with pytest.raises(ValueError, match='square'):
+            util.parse_operators([np.zeros((2, 3))], 'test')
+        with pytest.raises(ValueError, match='two-dimensional'):
+            util.parse_operators([np.zeros((2, 2, 2, 2))], 'test')
+
+    def test_parse_spectrum(self):
+        omega = np.linspace(1, 2, 10)
+        idx = [0, 1]
+        # scalar-per-omega broadcast to every noise oper
+        s = util.parse_spectrum(np.ones(10), omega, idx)
+        assert s.shape == (10,)
+        # per-nop spectra
+        s = util.parse_spectrum(np.ones((2, 10)), omega, idx)
+        assert s.shape == (2, 10)
+        # hermitian cross-spectra pass
+        cross = np.ones((2, 2, 10)) + 0j
+        cross[0, 1] = 1j
+        cross[1, 0] = -1j
+        assert util.parse_spectrum(cross, omega, idx).shape == (2, 2, 10)
+        # non-hermitian cross-spectra fail
+        bad = cross.copy()
+        bad[0, 1] = 2j
+        with pytest.raises(ValueError, match='[Hh]ermitian'):
+            util.parse_spectrum(bad, omega, idx)
+        with pytest.raises(ValueError, match='shape'):
+            util.parse_spectrum(np.ones((3, 10)), omega, idx)
+        with pytest.raises(ValueError, match='shape|dimensions'):
+            util.parse_spectrum(np.ones((2, 2, 2, 10)), omega, idx)
+
+    def test_is_sequence_like(self):
+        assert util.is_sequence_like([1, 2])
+        assert util.is_sequence_like((1,))
+        assert util.is_sequence_like(np.arange(3))
+        assert util.is_sequence_like('abc')
+        assert not util.is_sequence_like(1.0)
+        assert not util.is_sequence_like(iter([1]))
+
+    def test_all_array_equal_edge_cases(self):
+        a = rng.standard_normal((2, 2))
+        # same object many times (the pulse-train fast path)
+        assert util.all_array_equal([a] * 1000)
+        # equal values, different dtypes -> different bytes
+        assert not util.all_array_equal([np.zeros(2, dtype=np.float64),
+                                         np.zeros(2, dtype=np.float32)])
+        # generator input works
+        assert util.all_array_equal(iter([a, a.copy()]))
+
+    def test_oper_equiv_more(self):
+        # normalized mode with state vectors
+        psi = np.array([[1.0], [0.0]])
+        phi = np.exp(1j * 0.5) * psi
+        eq, phase = util.oper_equiv(psi, phi, normalized=True)
+        assert eq
+        assert_allclose(phase, 0.5, rtol=1e-10)
+        # proportional operators are equivalent (phase 0)
+        eq, phase = util.oper_equiv(util.paulis[1], 2 * util.paulis[1])
+        assert eq
+        assert_allclose(phase, 0.0, atol=1e-12)
+        with pytest.raises(ValueError, match='incompatible'):
+            util.oper_equiv(np.eye(2), np.eye(3))
+
+    def test_dot_HS_eps(self):
+        u = util.paulis[1]
+        # eps rounding: a tiny perturbation rounds away to the integer
+        assert util.dot_HS(u, (1 + 1e-15) * u) == 2
+        # eps=0 keeps the raw float
+        raw = util.dot_HS(u, (1 + 1e-15) * u, eps=0)
+        assert raw != 2
+        # complex result keeps imaginary part
+        val = util.dot_HS(util.paulis[1], 1j * util.paulis[1], eps=0)
+        assert np.iscomplexobj(val) and abs(val - 2j) < 1e-12
+
+    def test_integrate_dx(self):
+        f = np.ones(11)
+        assert_allclose(util.integrate(f, dx=0.1), 1.0, rtol=1e-12)
+        z = np.exp(1j * np.linspace(0, 1, 11))
+        got = util.integrate(asc(z), np.linspace(0, 1, 11))
+        assert isinstance(got, C)
+        assert_allclose(got.to_numpy(),
+                        np.trapezoid(z, np.linspace(0, 1, 11)), rtol=1e-10)
+
+    def test_progressbar_range(self):
+        assert list(util.progressbar_range(3)) == [0, 1, 2]
+        assert list(util.progressbar_range(1, 7, 2,
+                                           show_progressbar=True)) == \
+            [1, 3, 5]
+        # progressbar falls back to the bare iterable without tqdm
+        assert list(util.progressbar([0, 1])) == [0, 1]
+
+    def test_mdot_axis(self):
+        mats = rand_unit(3, 4)
+        stacked = np.swapaxes(mats, 0, 1)[:, :, None]  # axis-shuffled view
+        want = mats[0] @ mats[1] @ mats[2] @ mats[3]
+        assert_allclose(util.mdot(mats, axis=0), want, atol=1e-14)
+
+    def test_tensor_merge_errors(self):
+        I, X, Y, Z = util.paulis
+        with pytest.raises(ValueError):
+            util.tensor_merge(util.tensor(X, Y), util.tensor(I, I),
+                              pos=[0], arr_dims=[[2, 2], [2, 2]],
+                              ins_dims=[[2, 2], [2, 2]])
+
+    @pytest.mark.skipif(not HAVE_REFERENCE, reason='reference unavailable')
+    def test_util_matches_reference(self):
+        from filter_functions import util as ref_util
+        x = rng.uniform(-5, 5, 30)
+        assert_allclose(cexp(x).to_numpy(), ref_util.cexp(x), atol=1e-15)
+        assert_allclose(cexpm1(x).to_numpy(), ref_util.cexpm1(x),
+                        atol=1e-15)
+        a = rng.standard_normal((4, 4))
+        assert_allclose(util.remove_float_errors(a.copy()),
+                        ref_util.remove_float_errors(a.copy()), atol=0)
 
     @pytest.mark.skipif(not HAVE_REFERENCE, reason='reference unavailable')
     def test_tensor_matches_reference(self):
