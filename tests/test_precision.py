@@ -178,6 +178,273 @@ class TestIntegralsAgainstQuadrature:
                     assert_allclose(got[o, p, q], want, atol=5e-6)
 
 
+class TestSecondOrderAnalytic:
+    """Second-order FF / frequency shifts vs closed forms for free
+    induction decay (cf. reference test_precision.py:218-272)."""
+
+    def test_fid_second_order(self):
+        def FF2(omega):
+            res = np.empty(np.shape(omega), complex)
+            mask = omega == 0
+            res[mask] = tau**2 / 2
+            om = omega[~mask]
+            # cancellation-safe e^{ix} - 1 = -2 sin^2(x/2) + i sin(x)
+            x = -om * tau
+            expm1 = -2 * np.sin(x / 2)**2 + 1j * np.sin(x)
+            res[~mask] = (expm1 / (1j * om) + tau) / (1j * om)
+            return res
+
+        ix = int(rng.integers(1, 4))
+        tau = float(rng.random()) + 0.5
+        pulse_piecewise = ff.PulseSequence(
+            [[sigma[1] / np.sqrt(2), np.zeros(21)]],
+            [[sigma[ix] / np.sqrt(2), np.ones(21)]],
+            [tau / 21] * 21)
+        pulse_single = ff.PulseSequence(
+            [[sigma[1] / np.sqrt(2), np.zeros(1)]],
+            [[sigma[ix] / np.sqrt(2), np.ones(1)]],
+            [tau])
+        s = float(rng.random()) + 0.1
+
+        # white-noise limit; two-sided spectrum exercises Im(F2)
+        from filter_functions_tpu import util
+        omega = util.get_sample_frequencies(pulse_piecewise, 501)
+        omega = np.concatenate([-omega[::-1], [0], omega])
+        spect = np.full_like(omega, s**2)
+        d_pw = np.asarray(numeric.calculate_frequency_shifts(
+            pulse_piecewise, spect, omega))
+        d_single = np.asarray(numeric.calculate_frequency_shifts(
+            pulse_single, spect, omega))
+        f2 = to_np(pulse_single.get_filter_function(omega, order=2))
+        mask = np.zeros_like(d_single, dtype=bool)
+        mask[0, ix, ix] = True
+
+        assert_allclose(d_single, d_pw, atol=1e-13)
+        assert_allclose(d_single[mask], s**2 * tau / 2, rtol=1e-3)
+        assert_allclose(d_single[~mask], 0, atol=1e-12)
+        assert_allclose(f2[0, 0, ix, ix, 502:], FF2(omega[502:]),
+                        atol=1e-13)
+        # the imaginary part must integrate to zero over a symmetric grid
+        assert_allclose(np.trapezoid(f2.imag, omega, axis=-1), 0,
+                        atol=1e-13)
+
+        # quasistatic limit: delta spike at omega = 0
+        omega = np.array([-1e-15, 0, 1e-15]) / tau
+        spect = 2 * np.pi * s**2 * np.array([0, 1 / omega[-1], 0])
+        d_pw = np.asarray(numeric.calculate_frequency_shifts(
+            pulse_piecewise, spect, omega))
+        d_single = np.asarray(numeric.calculate_frequency_shifts(
+            pulse_single, spect, omega))
+        f2 = to_np(pulse_single.get_filter_function(omega, order=2))
+        assert_allclose(d_single, d_pw, atol=1e-13)
+        assert_allclose(d_single[mask], s**2 * tau**2 / 2, rtol=1e-10)
+        assert_allclose(d_single[~mask], 0, atol=1e-12)
+        assert_allclose(f2[0, 0, ix, ix, 2], FF2(omega[2:3])[0],
+                        atol=1e-12)
+
+
+class TestErrorTransferSelfConsistency:
+    """error_transfer_matrix vs the on-foot trace contraction and the
+    infidelity (cf. reference test_precision.py:631-727).  These checks
+    are internal consistency -- they pin the d=2 fast path against the
+    general four_element_traces formula."""
+
+    @pytest.mark.parametrize('d,n_dt,btype', [(2, 4, 'Pauli'), (2, 1, 'Pauli'),
+                                              (3, 2, 'GGM'), (4, 2, 'GGM')])
+    def test_transfer_matrix_on_foot(self, d, n_dt, btype):
+        from scipy import linalg as sla
+        from testutil import rand_pulse_sequence
+        from filter_functions_tpu import util
+        pulse = rand_pulse_sequence(d, n_dt, 3, 2, btype=btype)
+        omega = util.get_sample_frequencies(pulse, n_samples=51)
+        traces = pulse.basis.four_element_traces
+
+        s_one = 1e-8 / omega**2
+        spectra = [
+            s_one,
+            np.outer(1e-6 * np.arange(1, 3), 400 / (omega**2 + 400)),
+            np.array([[1e-6 / omega, 1e-8 / omega + 1j * 1e-8 / omega],
+                      [1e-8 / omega - 1j * 1e-8 / omega, 2e-6 / omega]]),
+        ]
+        for S in spectra:
+            U = np.asarray(ff.error_transfer_matrix(pulse, S, omega))
+            Up = np.asarray(ff.error_transfer_matrix(
+                pulse, S, omega, memory_parsimonious=True))
+            gamma = np.asarray(numeric.calculate_decay_amplitudes(
+                pulse, S, omega))
+            K = -(np.einsum('...kl,klji->...ij', gamma, traces)
+                  - np.einsum('...kl,kjli->...ij', gamma, traces)
+                  - np.einsum('...kl,kilj->...ij', gamma, traces)
+                  + np.einsum('...kl,kijl->...ij', gamma, traces)).real / 2
+            U_onfoot = sla.expm(K.sum(tuple(range(K.ndim - 2))))
+            U_from_K = np.asarray(ff.error_transfer_matrix(
+                cumulant_function=K))
+            assert_allclose(Up, U, atol=1e-14)
+            assert_allclose(U, U_onfoot, atol=1e-13)
+            assert_allclose(U_from_K, U_onfoot, atol=1e-14)
+
+            infid = np.asarray(ff.infidelity(pulse, S, omega))
+            i_decay = -np.einsum('...ii', K) / d**2
+            i_transfer = 1 - np.einsum('...ii', U) / d**2
+            assert_allclose(infid, i_decay, atol=1e-14, rtol=1e-10)
+            assert_allclose(i_transfer, infid.sum().real, rtol=1e-4,
+                            atol=1e-10)
+
+            # second order
+            delta = np.asarray(numeric.calculate_frequency_shifts(
+                pulse, S, omega))
+            K = K - (np.einsum('...kl,klji->...ij', delta, traces)
+                     - np.einsum('...kl,lkji->...ij', delta, traces)
+                     - np.einsum('...kl,klij->...ij', delta, traces)
+                     + np.einsum('...kl,lkij->...ij', delta, traces)
+                     ).real / 2
+            U2 = np.asarray(ff.error_transfer_matrix(pulse, S, omega,
+                                                     second_order=True))
+            U2_onfoot = sla.expm(K.sum(tuple(range(K.ndim - 2))))
+            assert_allclose(U2, U2_onfoot, atol=1e-13)
+            i_transfer_2 = 1 - np.einsum('...ii', U2) / d**2
+            assert_allclose(i_transfer_2, infid.sum().real, rtol=1e-4,
+                            atol=1e-10)
+
+    def test_finite_trace_noise_oper(self):
+        """n_oper with finite trace is an edge case of the d=2 fast
+        path (reference test_precision.py:636-639)."""
+        from scipy import linalg as sla
+        from filter_functions_tpu import util
+        from testutil import rand_pulse_arrays
+        c_opers, c_ids, c_coeffs, n_opers, n_ids, n_coeffs, dt = \
+            rand_pulse_arrays(2, 3, 3, 2)
+        n_opers = n_opers.copy()
+        n_opers[0] = np.eye(2) / np.sqrt(2)
+        pulse = ff.PulseSequence(list(zip(c_opers, c_coeffs, c_ids)),
+                                 list(zip(n_opers, n_coeffs, n_ids)),
+                                 dt, ff.Basis.pauli(1))
+        omega = util.get_sample_frequencies(pulse, n_samples=31)
+        S = 1e-8 / omega**2
+        U = np.asarray(ff.error_transfer_matrix(pulse, S, omega))
+        traces = pulse.basis.four_element_traces
+        gamma = np.asarray(numeric.calculate_decay_amplitudes(
+            pulse, S, omega))
+        K = -(np.einsum('...kl,klji->...ij', gamma, traces)
+              - np.einsum('...kl,kjli->...ij', gamma, traces)
+              - np.einsum('...kl,kilj->...ij', gamma, traces)
+              + np.einsum('...kl,kijl->...ij', gamma, traces)).real / 2
+        assert_allclose(U, sla.expm(K.sum(0)), atol=1e-13)
+
+    def test_error_transfer_matrix_raises(self):
+        with pytest.raises(ValueError, match='Require either'):
+            ff.error_transfer_matrix()
+        with pytest.raises(TypeError):
+            ff.error_transfer_matrix(cumulant_function=[1, 2, 3])
+        with pytest.raises(ValueError):
+            ff.error_transfer_matrix(
+                cumulant_function=np.zeros((2, 3)))
+
+
+class TestInfidelitySweep:
+    """Infidelity over the reference's spectrum-shape zoo
+    (cf. test_precision.py:495-604), plus error paths."""
+
+    SPECTRA = [
+        lambda S0, omega: S0 * np.abs(omega)**0,
+        lambda S0, omega: S0 / np.abs(omega)**0.7,
+        lambda S0, omega: S0 * np.exp(-np.abs(omega)),
+        lambda S0, omega: np.array([S0 * np.abs(omega)**0,
+                                    S0 / np.abs(omega)**0.7]),
+        lambda S0, omega: np.array([
+            [S0 / np.abs(omega)**0.7,
+             S0 / (1 + omega**2) + 1j * S0 * omega],
+            [S0 / (1 + omega**2) - 1j * S0 * omega,
+             S0 / np.abs(omega)**0.7]]),
+    ]
+
+    @pytest.mark.skipif(not HAVE_REFERENCE, reason='reference unavailable')
+    @pytest.mark.parametrize('d', [2, 3, 4])
+    def test_spectrum_shapes_vs_reference(self, d):
+        import filter_functions as ref
+        from testutil import pulse_pair
+        ours, theirs = pulse_pair(d, 6, 2, 3)
+        ids = list(ours.n_oper_identifiers[:2])
+        omega = np.geomspace(0.1, 10, 51)
+        S0 = 0.5
+        for spec in self.SPECTRA:
+            S = spec(S0, omega)
+            got = np.asarray(ff.infidelity(ours, S, omega,
+                                           n_oper_identifiers=ids))
+            want = ref.infidelity(theirs, S, omega,
+                                  n_oper_identifiers=ids)
+            assert_allclose(got, want, rtol=1e-10, atol=1e-14)
+            if S.ndim == 3:
+                # diagonal == uncorrelated, matrix hermitian
+                diag = np.asarray(ff.infidelity(
+                    ours, S[range(2), range(2)], omega,
+                    n_oper_identifiers=ids))
+                assert_allclose(np.diag(got), diag, rtol=1e-12)
+                assert_allclose(got, got.conj().T, atol=1e-15)
+
+    def test_infidelity_raises(self):
+        from testutil import rand_pulse_sequence
+        pulse = rand_pulse_sequence(2, 3, 2, 2)
+        omega = np.geomspace(0.1, 10, 11)
+        S0 = 1.0
+        with pytest.raises(ValueError):
+            ff.infidelity(pulse, self.SPECTRA[0](S0, omega), omega,
+                          which='monkey')
+        with pytest.raises(ValueError):
+            # spectrum length mismatch
+            ff.infidelity(pulse, self.SPECTRA[0](S0, omega)[:5], omega)
+        with pytest.raises(ValueError):
+            # more identifiers than spectra
+            ff.infidelity(pulse, self.SPECTRA[3](S0, omega), omega,
+                          n_oper_identifiers=list(
+                              pulse.n_oper_identifiers) * 2)
+        with pytest.raises(ValueError):
+            # 4-dimensional spectrum
+            ff.infidelity(pulse, rng.standard_normal((2, 2, 2, 11)), omega)
+        with pytest.raises(ValueError):
+            # cross-correlated but not hermitian
+            ff.infidelity(pulse, rng.standard_normal((2, 2, 11)), omega)
+        with pytest.raises(ValueError):
+            ff.infidelity(pulse, (1 + 1j) * rng.standard_normal((1, 1, 11)),
+                          omega, n_oper_identifiers=[
+                              pulse.n_oper_identifiers[0]])
+        with pytest.raises(NotImplementedError):
+            ff.infidelity(pulse, self.SPECTRA[4](S0, omega), omega,
+                          return_smallness=True)
+
+
+class TestNonTracelessInvariance:
+    """Physical results must not depend on whether the basis is
+    traceless (cf. reference test_precision.py:606-629)."""
+
+    def test_traceless_vs_nontraceless(self):
+        from filter_functions_tpu import util
+        from testutil import rand_pulse_arrays, make_pulse
+        arrays = rand_pulse_arrays(3, 3, 2, 2)
+        p_traceless = make_pulse(arrays)
+        p_nontraceless = make_pulse(arrays)
+        p_nontraceless.basis = ff.Basis.from_partial(
+            np.diag([1., 1., 0.]) / np.sqrt(2))
+        assert not p_nontraceless.basis.istraceless
+
+        omega = util.get_sample_frequencies(p_traceless, 200)
+        spect = 1e-3 / omega
+        i_traceless = np.asarray(ff.infidelity(p_traceless, spect, omega))
+        i_nontraceless = np.asarray(ff.infidelity(p_nontraceless, spect,
+                                                  omega))
+        assert_allclose(i_traceless, i_nontraceless, rtol=1e-8, atol=1e-16)
+
+        c_tl = ff.concatenate([p_traceless, p_traceless],
+                              calc_pulse_correlation_FF=True, omega=omega)
+        c_ntl = ff.concatenate([p_nontraceless, p_nontraceless],
+                               calc_pulse_correlation_FF=True, omega=omega)
+        i_tl = np.asarray(ff.infidelity(c_tl, spect, omega,
+                                        which='correlations'))
+        i_ntl = np.asarray(ff.infidelity(c_ntl, spect, omega,
+                                         which='correlations'))
+        assert_allclose(i_tl, i_ntl, rtol=1e-8, atol=1e-16)
+
+
 @pytest.mark.skipif(not HAVE_REFERENCE, reason='reference unavailable')
 class TestReferenceParity:
     """Direct parity with the reference package on identical inputs."""
