@@ -106,6 +106,47 @@ class TestConcatenation:
         assert_allclose(to_np(per.get_filter_function(omega)),
                         to_np(std.get_filter_function(omega)), atol=1e-10)
 
+    def test_concatenate_spin_echo_caching_byproducts(self):
+        """Concatenating cached spin echos equals the directly built
+        CPMG pulse, and byproduct caches (total phases / propagator /
+        Liouville rep) are populated on inputs and output
+        (cf. reference test_sequencing.py:222-264)."""
+        from testutil import generate_dd_hamiltonian
+        tau, tau_pi, omega = 10, 1e-4, np.logspace(-1, 2, 200)
+        H_c_SE, dt_SE = generate_dd_hamiltonian(1, tau=tau, tau_pi=tau_pi,
+                                                dd_type='cpmg')
+        H_n_SE = [[sigma[3], np.ones_like(dt_SE)]]
+        se_1 = ff.PulseSequence(H_c_SE, H_n_SE, dt_SE)
+        se_2 = ff.PulseSequence(H_c_SE, H_n_SE, dt_SE)
+        H_c_CPMG, dt_CPMG = generate_dd_hamiltonian(
+            2, tau=2 * tau, tau_pi=tau_pi, dd_type='cpmg')
+        H_n_CPMG = [[sigma[3], np.ones_like(dt_CPMG)]]
+        cpmg = ff.PulseSequence(H_c_CPMG, H_n_CPMG, dt_CPMG)
+
+        # cache only the first SE: the second is computed from scratch
+        se_1.cache_filter_function(omega)
+        cpmg.cache_filter_function(omega)
+        combined = se_1 @ se_2
+
+        for p in (se_1, cpmg, combined):
+            assert p.is_cached('total_phases')
+            assert p.is_cached('total_propagator')
+            assert p.is_cached('total_propagator_liouville')
+        assert combined == cpmg
+        assert_allclose(to_np(combined.get_filter_function(omega)),
+                        to_np(cpmg.get_filter_function(omega)), rtol=1e-11,
+                        atol=1e-16)
+
+        # neither cached: concatenation computes everything from scratch
+        se_3 = ff.PulseSequence(H_c_SE, H_n_SE, dt_SE)
+        se_4 = ff.PulseSequence(H_c_SE, H_n_SE, dt_SE)
+        combined2 = ff.concatenate([se_3, se_4], omega=omega,
+                                   calc_filter_function=True)
+        assert combined2.is_cached('filter function')
+        assert_allclose(to_np(combined2.get_filter_function(omega)),
+                        to_np(cpmg.get_filter_function(omega)), rtol=1e-11,
+                        atol=1e-16)
+
     @pytest.mark.skipif(not HAVE_REFERENCE, reason='reference unavailable')
     def test_concatenation_reference_parity(self):
         import filter_functions as ref
@@ -320,6 +361,70 @@ class TestHamiltonianMerging:
 
 
 class TestExtendErrors:
+    def test_extend_exceptions(self):
+        """Every failure mode pinned by the reference
+        (test_sequencing.py:1244-1341)."""
+        from filter_functions_tpu import util
+        X = util.paulis[1]
+        n_dt = 5
+        omega = np.linspace(0.1, 1, 20)
+        p1 = rand_pulse_sequence(2, n_dt, btype='Pauli')
+        p1.cache_filter_function(omega)
+        p11 = ff.extend([[p1, 0], [p1, 1]])
+        p11.cache_filter_function(omega + 1)
+        p_ggm = rand_pulse_sequence(2, n_dt, btype='GGM')
+
+        with pytest.raises(ValueError, match='remap'):
+            # qubit indices don't match on the pulse being remapped
+            ff.extend([(p11, (2, 1, 0))])
+        with pytest.raises(ValueError, match='dimension'):
+            ff.extend([(p1, (0, 1))])
+        with pytest.raises(ValueError, match='d_per_qubit'):
+            ff.extend([(p1, (0,))], d_per_qubit=3)
+        with pytest.raises(ValueError, match='dimension'):
+            ff.extend([(p11, (0,))])
+        with pytest.raises(ValueError, match='same time steps'):
+            ff.extend([(p1, 0), [p_ggm, 1]])
+        with pytest.raises(ValueError, match='[Qq]ubit clash'):
+            ff.extend([(p1, 0), [p1, 0]])
+        with pytest.raises(ValueError, match='N smaller'):
+            ff.extend([(p1, 2)], N=2)
+        with pytest.raises(ValueError, match='omega'):
+            # filter function requested but omegas disagree
+            ff.extend([(p1, 0), (p11, (1, 2))],
+                      cache_filter_function=True, omega=None)
+        with pytest.raises(ValueError):
+            # additional noise requires diagonalization
+            ff.extend([(p1, 0), (p1, 1)], cache_diagonalization=False,
+                      additional_noise_Hamiltonian=[[util.tensor(X, X),
+                                                     np.ones(n_dt)]])
+        with pytest.raises(ValueError, match='unique'):
+            ff.extend([(p1, 0), (p1, 1)],
+                      additional_noise_Hamiltonian=[
+                          [util.tensor(X, X), np.ones(n_dt), 'foo'],
+                          [util.tensor(X, X), np.ones(n_dt), 'foo']])
+        with pytest.raises(ValueError, match='duplicate'):
+            ff.extend([(p1, 1)],
+                      additional_noise_Hamiltonian=[
+                          [util.tensor(X, X), np.ones(n_dt),
+                           str(p1.n_oper_identifiers[0]) + '_1']])
+        with pytest.raises(ValueError, match='dimensions'):
+            ff.extend([(p1, 0), (p1, 1)],
+                      additional_noise_Hamiltonian=[[util.tensor(X, X, X),
+                                                     np.ones(n_dt)]])
+        with pytest.warns(UserWarning):
+            # non-Pauli basis cannot retain caches
+            p_ggm2 = rand_pulse_sequence(2, n_dt, btype='GGM')
+            p_ggm2.dt = p_ggm.dt
+            p_ggm.cache_filter_function(omega)
+            ff.extend([(p_ggm, 0), (p_ggm, 1)])
+
+    def test_extend_single_pulse_identity_warns(self):
+        p1 = rand_pulse_sequence(2, 3, btype='Pauli')
+        with pytest.warns(UserWarning, match='same'):
+            out = ff.extend([(p1, 0)], N=1)
+        assert out is p1
+
     def test_qubit_clash(self):
         p = rand_pulse_sequence(2, 2, btype='Pauli')
         q = rand_pulse_sequence(2, 2, btype='Pauli')
