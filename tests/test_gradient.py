@@ -94,6 +94,91 @@ class TestGradient:
         assert_allclose(part[0, :, 0], full[0, :, 1], atol=1e-12)
 
 
+class TestGradientIdentifierMachinery:
+    """Sorting/subset consistency of n_coeffs_deriv and identifier
+    selection (cf. reference test_gradient.py:92-157) plus caching
+    equivalence and error paths (:178-218)."""
+
+    def test_n_coeffs_deriv_sorting(self):
+        from testutil import rand_pulse_sequence
+        pulse = rand_pulse_sequence(3, 4)
+        omega = ff.util.get_sample_frequencies(pulse, n_samples=37)
+        n_nops, n_ctrl, n_dt = (len(pulse.n_opers), len(pulse.c_opers),
+                                len(pulse))
+        ncd = rng.standard_normal((n_nops, n_ctrl, n_dt))
+        n_ids = np.asarray(pulse.n_oper_identifiers)
+        c_ids = np.asarray(pulse.c_oper_identifiers)
+
+        n_unsort = rng.permutation(n_nops)
+        c_unsort = rng.permutation(n_ctrl)
+        n_choice = rng.choice(n_nops, 2, replace=False)
+        c_choice = rng.choice(n_ctrl, 2, replace=False)
+
+        grad = np.asarray(pulse.get_filter_function_derivative(
+            omega, n_coeffs_deriv=ncd))
+        grad_as_given = np.asarray(pulse.get_filter_function_derivative(
+            omega, n_oper_identifiers=n_ids[n_unsort],
+            control_identifiers=c_ids[c_unsort],
+            n_coeffs_deriv=ncd[n_unsort[:, None], c_unsort]))
+        grad_n = np.asarray(pulse.get_filter_function_derivative(
+            omega, n_oper_identifiers=n_ids[n_choice],
+            n_coeffs_deriv=ncd[n_choice]))
+        grad_c = np.asarray(pulse.get_filter_function_derivative(
+            omega, control_identifiers=c_ids[c_choice],
+            n_coeffs_deriv=ncd[:, c_choice]))
+        grad_nc = np.asarray(pulse.get_filter_function_derivative(
+            omega, control_identifiers=c_ids[c_choice],
+            n_oper_identifiers=n_ids[n_choice],
+            n_coeffs_deriv=ncd[n_choice[:, None], c_choice]))
+
+        all_dt = np.arange(n_dt)
+        assert_allclose(grad[np.ix_(n_unsort, all_dt, c_unsort)],
+                        grad_as_given, atol=1e-13)
+        assert_allclose(grad[np.ix_(n_choice, all_dt)], grad_n, atol=1e-13)
+        assert_allclose(grad[np.ix_(np.arange(n_nops), all_dt, c_choice)],
+                        grad_c, atol=1e-13)
+        assert_allclose(grad[np.ix_(n_choice, all_dt, c_choice)], grad_nc,
+                        atol=1e-13)
+
+    def test_intermediates_caching_equivalence(self):
+        from testutil import rand_pulse_sequence
+        pulse = rand_pulse_sequence(3, 4)
+        omega = ff.util.get_sample_frequencies(pulse, n_samples=27)
+        spect = 1 / omega
+
+        pulse.cache_control_matrix(omega, cache_intermediates=False)
+        infid_nocache = np.asarray(ff.infidelity(pulse, spect, omega))
+        cm_nocache = np.asarray(to_np(
+            gradient.calculate_derivative_of_control_matrix_from_scratch(
+                omega, pulse.propagators, pulse.eigvals, pulse.eigvecs,
+                pulse.basis, pulse.t, pulse.dt, pulse.n_opers_dev,
+                pulse.n_coeffs, pulse.c_opers_dev, intermediates={})))
+
+        pulse.cleanup('frequency dependent')
+        pulse.cache_control_matrix(omega, cache_intermediates=True)
+        infid_cache = np.asarray(ff.infidelity(pulse, spect, omega))
+        cm_cache = np.asarray(to_np(
+            gradient.calculate_derivative_of_control_matrix_from_scratch(
+                omega, pulse.propagators, pulse.eigvals, pulse.eigvecs,
+                pulse.basis, pulse.t, pulse.dt, pulse.n_opers_dev,
+                pulse.n_coeffs, pulse.c_opers_dev,
+                intermediates=dict(pulse.intermediates))))
+
+        assert_allclose(infid_nocache, infid_cache, rtol=1e-12)
+        assert_allclose(cm_nocache, cm_cache, atol=1e-13)
+
+    def test_raises(self):
+        from testutil import rand_pulse_sequence
+        pulse = rand_pulse_sequence(2, 3)
+        omega = ff.util.get_sample_frequencies(pulse, n_samples=13)
+        with pytest.raises(ValueError):
+            ff.infidelity_derivative(pulse, 1 / omega, omega,
+                                     control_identifiers=['long string'])
+        with pytest.raises(ValueError, match='n_coeffs_deriv'):
+            pulse.get_filter_function_derivative(
+                omega, n_coeffs_deriv=rng.standard_normal((2, 5, 10)))
+
+
 class TestJaxGrad:
     """Automatic differentiation through the split-complex pipeline."""
 
