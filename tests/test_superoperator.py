@@ -78,6 +78,64 @@ class TestChoiCP:
         r = np.diag([1.0, 1.0, -1.0, 1.0])
         assert not superoperator.liouville_is_CP(r, basis)
 
+    @pytest.mark.parametrize('d', [2, 3, 4])
+    def test_unitary_channel_choi_rank_one(self, d):
+        """A unitary channel's Choi matrix has exactly one nonzero
+        eigenvalue (cf. reference test_superoperator.py:116-136);
+        batched input yields per-element verdicts."""
+        n = np.log2(d)
+        basis = Basis.pauli(int(n)) if n % 1 == 0 else Basis.ggm(d)
+        u = rand_unit(d, 5)
+        r = superoperator.liouville_representation(asc(u), basis)
+        cp, (dvals, _) = superoperator.liouville_is_CP(r, basis,
+                                                       return_eig=True)
+        assert cp.shape == (5,) and np.all(cp)
+        assert_allclose(np.asarray(dvals)[..., :-1], 0, atol=basis._atol)
+        assert_allclose(np.asarray(dvals)[..., -1], d, rtol=1e-10)
+
+    def test_partial_transpose_not_cp(self):
+        """The two-qubit partial transpose map is positive but not CP
+        (reference test_superoperator.py:104-113)."""
+        from filter_functions_tpu.basis import expand
+        basis = Basis.pauli(2)
+        b = np.asarray(basis)
+        pt = b.reshape(-1, 2, 2, 2, 2).swapaxes(-1, -3).reshape(b.shape)
+        phi = expand(pt, basis).T
+        assert not superoperator.liouville_is_CP(phi.real, basis)
+
+    @pytest.mark.parametrize('d', [2, 3])
+    def test_hermitian_generator_is_ccp(self, d):
+        """-i[H, .] superoperators are cCP with all projected
+        eigenvalues zero (reference test_superoperator.py:148-172)."""
+        from testutil import rand_herm
+        n = np.log2(d)
+        basis = Basis.pauli(int(n)) if n % 1 == 0 else Basis.ggm(d)
+        b = np.asarray(basis)
+        h = 1j * rand_herm(d, 3)
+        h_sup = (np.einsum('iab,nbc,jca->nij', b, h, b, optimize=True)
+                 - np.einsum('iab,jbc,nca->nij', b, b, h, optimize=True))
+        ccp, (dvals, _) = superoperator.liouville_is_cCP(h_sup, basis,
+                                                         return_eig=True)
+        assert ccp.shape == (3,) and np.all(ccp)
+        assert_allclose(np.asarray(dvals), 0, atol=1e-13)
+
+    def test_error_transfer_matrix_is_cp_and_cumulant_ccp(self):
+        """Physical error channels are CP; cumulant functions cCP
+        (reference test_superoperator.py:138-146, 174-187)."""
+        from testutil import rand_pulse_sequence
+        from filter_functions_tpu import numeric, util
+        for d in (2, 3):
+            pulse = rand_pulse_sequence(d, 1)
+            omega = util.get_sample_frequencies(pulse)
+            S = 1 / np.abs(omega)**2
+            U = np.asarray(ff.error_transfer_matrix(pulse, S, omega))
+            assert superoperator.liouville_is_CP(U, pulse.basis)
+            K = np.asarray(numeric.calculate_cumulant_function(
+                pulse, S, omega))
+            ccp = superoperator.liouville_is_cCP(K, pulse.basis,
+                                                 atol=1e-13)
+            assert np.all(ccp)
+
     @pytest.mark.skipif(not HAVE_REFERENCE, reason='reference unavailable')
     def test_choi_matches_reference(self):
         import filter_functions as ref
