@@ -15,6 +15,7 @@ the ``cleanup`` tiers (pulse_sequence.py:1188-1245).
 from __future__ import annotations
 
 import copy as _copy
+from collections.abc import Mapping
 from types import MappingProxyType
 from typing import Dict, Optional, Sequence, Tuple, Union
 
@@ -39,7 +40,10 @@ def _parse_hamiltonian(H, n_dt: int, H_str: str):
     if not util.is_sequence_like(H):
         raise TypeError(f'Expected {H_str} to be a sequence, not of type '
                         f'{type(H)}!')
-    if not all(util.is_sequence_like(item) for item in H):
+    # Mappings duck-type as sequences through integer keys but are not
+    # valid Hamiltonian entries (reference rejects them too).
+    if not all(util.is_sequence_like(item)
+               and not isinstance(item, Mapping) for item in H):
         raise TypeError(f'Expected {H_str} to be a sequence of sequences '
                         'but found at least one item of H not a sequence!')
 

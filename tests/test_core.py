@@ -50,6 +50,77 @@ class TestConstruction:
         with pytest.raises(ValueError):
             ff.PulseSequence([[X, [1.0, 2.0]]], [[Z, [1.0]]], [1.0])
 
+    def test_constructor_validation_matrix(self):
+        """The full failure-mode matrix of the reference constructor
+        (reference tests/test_core.py:42-222)."""
+        bp = rand_pulse_sequence(2, 5, 3, 3)
+        H_c = [list(x) for x in zip(np.asarray(bp.c_opers),
+                                    np.asarray(bp.c_coeffs),
+                                    bp.c_oper_identifiers)]
+        H_n = [list(x) for x in zip(np.asarray(bp.n_opers),
+                                    np.asarray(bp.n_coeffs),
+                                    bp.n_oper_identifiers)]
+        dt = np.asarray(bp.dt).copy()
+
+        with pytest.raises(TypeError):
+            ff.PulseSequence(H_c, H_n)            # missing dt
+        with pytest.raises(TypeError):
+            ff.PulseSequence(H_c, H_n, dt[0])     # dt scalar
+        bad = dt.copy()
+        bad[2] *= -1
+        with pytest.raises(ValueError):
+            ff.PulseSequence(H_c, H_n, bad)       # negative dt
+        badc = dt.astype(complex)
+        badc[2] += 1j
+        with pytest.raises(ValueError):
+            ff.PulseSequence(H_c, H_n, badc)      # imaginary dt
+        with pytest.raises(ValueError):
+            ff.PulseSequence(H_c, H_n, dt,
+                             np.asarray(ff.Basis.pauli(1)))  # raw ndarray
+        with pytest.raises(TypeError):
+            ff.PulseSequence(15, H_n, dt)
+        with pytest.raises(TypeError):
+            ff.PulseSequence(H_c, 15, dt)
+        hc = copy.deepcopy(H_c)
+        hc[1] = dict(enumerate(hc[1]))
+        with pytest.raises(TypeError):
+            ff.PulseSequence(hc, H_n, dt)         # element a mapping
+        hc = copy.deepcopy(H_c)
+        hc[1][1] = hc[1][1][0]
+        with pytest.raises(TypeError):
+            ff.PulseSequence(hc, H_n, dt)         # coefficient scalar
+        hc = copy.deepcopy(H_c)
+        hc[1][0] = np.tile(hc[1][0], (3, 1, 1))
+        with pytest.raises(ValueError):
+            ff.PulseSequence(hc, H_n, dt)         # 3d operator
+        hc = copy.deepcopy(H_c)
+        hc[1][0] = hc[1][0].reshape(1, 4)
+        with pytest.raises(ValueError):
+            ff.PulseSequence(hc, H_n, dt)         # non-square operator
+        hn = copy.deepcopy(H_n)
+        hn[1][0] = np.kron(hn[1][0], np.eye(2))
+        with pytest.raises(ValueError):
+            ff.PulseSequence(H_c, hn, dt)         # mixed dimensions
+        hc = copy.deepcopy(H_c)
+        hc[1][2] = hc[0][2]
+        with pytest.raises(ValueError):
+            ff.PulseSequence(hc, H_n, dt)         # duplicate identifiers
+        hc = copy.deepcopy(H_c)
+        hc[1][1] = hc[1][1][:-2]
+        with pytest.raises(ValueError):
+            ff.PulseSequence(hc, H_n, dt)         # coeff length != n_dt
+
+        pulse = ff.PulseSequence(H_c, H_n, dt)
+        assert repr(pulse)
+        assert str(pulse)
+
+    def test_mixed_auto_and_named_identifiers(self):
+        p2 = ff.PulseSequence(
+            [[util.paulis[1], [1], 'X'], [util.paulis[2], [1]]],
+            [[util.paulis[1], [1]], [util.paulis[2], [1], 'Y']], [1])
+        assert list(p2.c_oper_identifiers) == ['A_1', 'X']
+        assert list(p2.n_oper_identifiers) == ['B_0', 'Y']
+
     def test_from_arrays_validation(self):
         a = rand_pulse_arrays(2, 3)
         with pytest.raises(ValueError):
