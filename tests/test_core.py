@@ -141,6 +141,49 @@ class TestConstruction:
         assert_allclose(p.tau, p.dt.sum())
         assert p.duration == p.tau
 
+    def test_equality_matrix(self):
+        """Pulses differing in any single ingredient compare unequal
+        (reference tests/test_core.py:241-335)."""
+        X, Y, Z = sigma[1:]
+        n_dt = 4
+        cc = rng.standard_normal(n_dt)
+        nc = rng.random(n_dt)
+        dt = np.abs(rng.standard_normal(n_dt)) + 0.1
+        a = ff.PulseSequence([[X, cc, 'X']], [[Z, nc, 'Z']], dt)
+
+        assert not (a == 1)
+        assert a != 1
+        variants = [
+            # different number of time steps
+            ff.PulseSequence([[X, np.r_[cc, 1.0], 'X']],
+                             [[Z, np.r_[nc, 1.0], 'Z']],
+                             np.r_[dt, 1.0]),
+            # different durations
+            ff.PulseSequence([[X, cc, 'X']], [[Z, nc, 'Z']], dt * 2),
+            # different control opers
+            ff.PulseSequence([[Y, cc, 'X']], [[Z, nc, 'Z']], dt),
+            # different control coeffs
+            ff.PulseSequence([[X, cc + 1, 'X']], [[Z, nc, 'Z']], dt),
+            # different noise opers
+            ff.PulseSequence([[X, cc, 'X']], [[Y, nc, 'Z']], dt),
+            # different noise coeffs
+            ff.PulseSequence([[X, cc, 'X']], [[Z, nc + 1, 'Z']], dt),
+            # different control identifiers
+            ff.PulseSequence([[X, cc, 'foobar']], [[Z, nc, 'Z']], dt),
+            # different noise identifiers
+            ff.PulseSequence([[X, cc, 'X']], [[Z, nc, 'foobar']], dt),
+            # different basis
+            ff.PulseSequence([[X, cc, 'X']], [[Z, nc, 'Z']], dt,
+                             ff.Basis(rand_pulse_arrays(2, 1)[0])),
+        ]
+        for b in variants:
+            assert not (a == b)
+            assert a != b
+        # physically identical pulse compares equal
+        same = ff.PulseSequence([[X, cc.copy(), 'X']],
+                                [[Z, nc.copy(), 'Z']], dt.copy())
+        assert a == same
+
 
 class TestCaching:
     def test_lazy_diagonalization(self):
