@@ -257,6 +257,7 @@ def eye(n: int, dtype=None, batch_shape: Tuple[int, ...] = ()) -> C:
     return C(e, jnp.zeros_like(e))
 
 
+@jax.jit
 def cexp(x) -> C:
     r"""Complex exponential :math:`e^{ix}` of a *real* array x.
 
@@ -268,6 +269,7 @@ def cexp(x) -> C:
     return C(jnp.cos(x), jnp.sin(x))
 
 
+@jax.jit
 def cexpm1(x) -> C:
     r"""Compute :math:`e^{ix} - 1 = -2\sin^2(x/2) + i\sin(x)` for real x.
 
@@ -307,18 +309,27 @@ def _bilinear(f, a: C, b: C) -> C:
     return C(p1 - p2, p3 - p1 - p2)
 
 
+@jax.jit
 def matmul(a, b) -> C:
     a, b = asc(a), asc(b)
     return _bilinear(jnp.matmul, a, b)
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
 def ceinsum2(subscripts: str, a, b) -> C:
-    """Two-operand complex einsum via three real einsums."""
+    """Two-operand complex einsum via three real einsums.
+
+    Jitted (as are all cplx entry points): on the tunneled-TPU backend
+    every EAGER op costs ~40-60 ms in per-op compilation round trips,
+    while jitted executables chain for free.  Inside an enclosing jit
+    the wrapper is simply inlined at trace time.
+    """
     a, b = asc(a), asc(b)
     f = functools.partial(jnp.einsum, subscripts)
     return _bilinear(f, a, b)
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
 def ceinsum1(subscripts: str, a) -> C:
     """Single-operand einsum (pure reshuffle/trace), applied per part."""
     a = asc(a)
@@ -344,6 +355,11 @@ def ceinsum(subscripts: str, *operands) -> C:
     """
     ops = [o if isinstance(o, C) else (asc(o) if np.iscomplexobj(o) else
                                        jnp.asarray(o)) for o in operands]
+    return _ceinsum_exec(subscripts, *ops)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _ceinsum_exec(subscripts: str, *ops) -> C:
     shapes = tuple(tuple(o.shape) for o in ops)
     plan = _einsum_plan(subscripts, shapes)
 
@@ -559,7 +575,45 @@ def eigh(h: C):
     return w, C(vre, vim)
 
 
+@jax.jit
 def expm_real(a: jnp.ndarray) -> jnp.ndarray:
     """Matrix exponential of a real matrix (used for the error transfer
-    matrix, cf. /root/reference/filter_functions/numeric.py:2051)."""
-    return jax.scipy.linalg.expm(a)
+    matrix, cf. /root/reference/filter_functions/numeric.py:2051).
+
+    Solve-free Taylor scaling-and-squaring: ``jax.scipy.linalg.expm``'s
+    Pade form needs an LU solve, which the TPU compiler only implements
+    for f32/c64 -- in f64 it fails to compile.  Matmul-only Taylor is
+    jittable on TPU.  The scaled 1-norm is kept <= 1 where the k = 22
+    truncation has remainder < 1/23! ~ 4e-23; each subsequent squaring
+    doubles the accumulated rounding, so minimizing the squaring count
+    (rather than the series length) sets the achievable accuracy
+    (~2^s ulp; exact to ~1 ulp for the small-norm cumulant functions
+    this is used on).
+    """
+    a = jnp.asarray(a)
+    # scale by 2^-s so ||A/2^s||_1 <= 1
+    norm = jnp.max(jnp.sum(jnp.abs(a), axis=-2), axis=-1)  # 1-norm
+    s = jnp.maximum(
+        0, jnp.ceil(jnp.log2(jnp.maximum(norm, 1e-300)))
+    ).astype(jnp.int32)
+    # cap squarings: norms beyond 2^64 overflow anyway
+    s = jnp.minimum(s, 64)
+    a_scaled = a * jnp.exp2(-s.astype(a.dtype))[..., None, None]
+
+    eye = jnp.broadcast_to(jnp.eye(a.shape[-1], dtype=a.dtype), a.shape)
+    out = eye
+    term = eye
+    for k in range(1, 23):
+        term = (term @ a_scaled) / k
+        out = out + term
+
+    def cond(carry):
+        i, _ = carry
+        return i < jnp.max(s)
+
+    def square(carry):
+        i, m = carry
+        sq = m @ m
+        return i + 1, jnp.where((i < s)[..., None, None], sq, m)
+
+    return lax.while_loop(cond, square, (jnp.zeros((), jnp.int32), out))[1]

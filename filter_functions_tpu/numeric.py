@@ -212,6 +212,22 @@ def _diagonalize_jit(h: C, dt: jnp.ndarray):
     return eigvals, eigvecs, propagators
 
 
+def assemble_and_diagonalize(c_opers: C, c_coeffs, dt):
+    """Hamiltonian assembly + K0 + total-propagator slice as ONE device
+    call (the pulse-facing entry; eager op dispatch on a tunneled TPU
+    costs ~30-100 ms per op, so the assembly einsum and the final slice
+    must live inside the jit)."""
+    return _assemble_diag_jit(asc(c_opers), jnp.asarray(c_coeffs),
+                              jnp.asarray(dt))
+
+
+@jax.jit
+def _assemble_diag_jit(c_opers: C, c_coeffs: jnp.ndarray, dt: jnp.ndarray):
+    h = ceinsum('jmn,jg->gmn', c_opers, c_coeffs)
+    eigvals, eigvecs, propagators = _diagonalize_jit(h, dt)
+    return eigvals, eigvecs, propagators, propagators[-1]
+
+
 # -----------------------------------------------------------------------------
 # K4: control matrix from scratch
 # -----------------------------------------------------------------------------
@@ -245,13 +261,12 @@ def calculate_control_matrix_from_scratch(
 
     G, d = eigvals.shape
     if cache_intermediates:
-        result, step, interm = _ctrlmat_scratch_cached(
+        result, step, cumulative, interm = _ctrlmat_scratch_cached(
             eigvals, eigvecs, propagators, omega, basis_dev, n_opers,
             n_coeffs, dt, t)
-        cumulative = step.cumsum(axis=0)
         interm = dict(interm)
         interm['control_matrix_step'] = step
-        interm['control_matrix_step_cumulative'] = cumulative[:-1]
+        interm['control_matrix_step_cumulative'] = cumulative
         return result, interm
 
     # Chunked accumulation bounds the (G, n_omega, d, d) integral table.
@@ -353,6 +368,7 @@ def _ctrlmat_scratch_cached(eigvals, eigvecs, propagators, omega, basis,
     step = ceinsum('go,jgmn,gomn,gknm->gjko', phase_factors,
                    n_opers_transformed, integral, basis_transformed)
     result = step.sum(axis=0)
+    cumulative = step.cumsum(axis=0)[:-1]
     intermediates = dict(
         n_opers_transformed=n_opers_transformed,
         eigvecs_propagated=eigvecs_propagated,
@@ -360,7 +376,7 @@ def _ctrlmat_scratch_cached(eigvals, eigvecs, propagators, omega, basis,
         phase_factors=phase_factors,
         first_order_integral=integral,
     )
-    return result, step, intermediates
+    return result, step, cumulative, intermediates
 
 
 @functools.partial(jax.jit, static_argnames='chunk')
@@ -611,11 +627,9 @@ def calculate_second_order_filter_function_from_scratch(
         step = intermediates['control_matrix_step']
         cumul = intermediates['control_matrix_step_cumulative']
     else:
-        (_, n_t, b_t, ph, integral1) = _ctrlmat_step_terms(
-            eigvals, eigvecs, propagators[:-1], omega, basis_dev,
-            n_opers, n_coeffs, dt, t[:-1])
-        step = ceinsum('go,jgmn,gomn,gknm->gjko', ph, n_t, integral1, b_t)
-        cumul = step.cumsum(axis=0)[:-1]
+        n_t, b_t, step, cumul = _second_order_step_terms_jit(
+            eigvals, eigvecs, propagators, omega, basis_dev, n_opers,
+            n_coeffs, dt, t)
 
     result, int2_cache, complete_steps, cumulative_ff = _second_order_scan(
         eigvals, n_t, b_t, step, cumul, omega, dt,
@@ -634,6 +648,18 @@ def calculate_second_order_filter_function_from_scratch(
             out_interm.setdefault('control_matrix_step_cumulative', cumul)
         return result, out_interm
     return result
+
+
+@jax.jit
+def _second_order_step_terms_jit(eigvals, eigvecs, propagators, omega,
+                                 basis_dev, n_opers, n_coeffs, dt, t):
+    """K10 prerequisites (per-step ctrl matrices) as one device call,
+    for pulses whose first-order intermediates were not cached."""
+    (_, n_t, b_t, ph, integral1) = _ctrlmat_step_terms(
+        eigvals, eigvecs, propagators[:-1], omega, basis_dev,
+        n_opers, n_coeffs, dt, t[:-1])
+    step = ceinsum('go,jgmn,gomn,gknm->gjko', ph, n_t, integral1, b_t)
+    return n_t, b_t, step, step.cumsum(axis=0)[:-1]
 
 
 @functools.partial(jax.jit,
@@ -754,18 +780,39 @@ def calculate_second_order_filter_function_from_atomic(
 def _get_integrand(spectrum, omega, idx, which_pulse: str, which_FF: str,
                    control_matrix=None, filter_function=None) -> jnp.ndarray:
     """S(w).F(w) integrand dispatch over spectrum.ndim in {1, 2, 3}
-    (numeric.py:259-374).  Returns the (real) integrand."""
+    (numeric.py:259-374).  Returns the (real) integrand.
+
+    Validation/parsing happens host-side; the arithmetic runs in one
+    jitted call (eager per-op dispatch dominates small workloads on a
+    tunneled TPU)."""
     spectrum = util.parse_spectrum(spectrum, omega, idx)
     s = jnp.asarray(spectrum.real)
     s_im = jnp.asarray(spectrum.imag) if np.iscomplexobj(spectrum) else None
+    if filter_function is not None:
+        filter_function = asc(filter_function)
+    elif isinstance(control_matrix, (list, tuple)):
+        control_matrix = (asc(control_matrix[0]), asc(control_matrix[1]))
+    elif control_matrix is not None:
+        control_matrix = asc(control_matrix)
+    return _integrand_core(s, s_im, control_matrix, filter_function,
+                           tuple(int(i) for i in np.asarray(idx)),
+                           which_pulse, which_FF)
+
+
+@functools.partial(jax.jit, static_argnames=('idx', 'which_pulse',
+                                             'which_FF'))
+def _integrand_core(s, s_im, control_matrix, filter_function, idx,
+                    which_pulse: str, which_FF: str) -> jnp.ndarray:
+    spectrum_ndim = s.ndim
+    idx = np.asarray(idx)
 
     if filter_function is not None:
-        ff = asc(filter_function)
+        ff = filter_function
         if which_FF == 'generalized':
             # noise-oper axes at (-5, -4), basis at (-3, -2): move nops
             # next to frequency for broadcasting against S
             ff = ff._map(lambda a: jnp.moveaxis(a, (-5, -4), (-3, -2)))
-        if spectrum.ndim in (1, 2):
+        if spectrum_ndim in (1, 2):
             diag = ff._map(
                 lambda a: a[..., tuple(idx), tuple(idx), :])
             integrand = diag.re * s - (0 if s_im is None else diag.im * s_im)
@@ -781,14 +828,13 @@ def _get_integrand(spectrum, omega, idx, which_pulse: str, which_FF: str,
 
     ctrl = control_matrix
     if isinstance(ctrl, (list, tuple)):
-        left, right = asc(ctrl[0]).conj(), asc(ctrl[1])
+        left, right = ctrl[0].conj(), ctrl[1]
     else:
-        ctrl = asc(ctrl)
         left, right = ctrl.conj(), ctrl
     left = left._map(lambda a: a[..., idx, :, :])
     right = right._map(lambda a: a[..., idx, :, :])
     s_c = C(s, jnp.zeros_like(s)) if s_im is None else C(s, s_im)
-    if spectrum.ndim in (1, 2):
+    if spectrum_ndim in (1, 2):
         if which_pulse == 'correlations':
             sub = ('g...ko,...o,h...ko->gh...o' if which_FF == 'fidelity'
                    else 'g...ko,...o,h...lo->gh...klo')
@@ -803,6 +849,12 @@ def _get_integrand(spectrum, omega, idx, which_pulse: str, which_FF: str,
             sub = ('ako,abo,bko->abo' if which_FF == 'fidelity'
                    else 'ako,abo,blo->abklo')
     return ceinsum(sub, left, s_c, right).re
+
+
+@jax.jit
+def _trapz_2pi(integrand, omega):
+    """Trapezoid over the last axis / 2pi, as one device call."""
+    return util.integrate(integrand, omega) / (2 * np.pi)
 
 
 # -----------------------------------------------------------------------------
@@ -847,7 +899,7 @@ def calculate_decay_amplitudes(pulse, spectrum, omega,
                                    'generalized',
                                    control_matrix=control_matrix,
                                    filter_function=filter_function)
-        return util.integrate(integrand, jnp.asarray(omega)) / (2 * np.pi)
+        return _trapz_2pi(integrand, jnp.asarray(omega))
 
     # k-sliced integration to bound the (n,n,d2,d2,n_w) integrand
     n_kl = len(pulse.basis)
@@ -879,7 +931,7 @@ def calculate_frequency_shifts(pulse, spectrum, omega,
                                     show_progressbar=show_progressbar)
     integrand = _get_integrand(spectrum, omega, idx, 'total', 'generalized',
                                filter_function=ff2)
-    return util.integrate(integrand, jnp.asarray(omega)) / (2 * np.pi)
+    return _trapz_2pi(integrand, jnp.asarray(omega))
 
 
 # -----------------------------------------------------------------------------
@@ -915,6 +967,53 @@ def _trace_contract(coeff, basis: Basis, pattern: str) -> jnp.ndarray:
         return jnp.einsum(f'...kl,{pattern}->...ij', coeff,
                           jnp.asarray(traces), optimize=True)
     return _trace_contract_basis(coeff, basis, pattern)
+
+
+def _cumulant_trace_combos(basis: Basis):
+    """Host-side precombination of the four trace-tensor transposes
+    each of Gamma and Delta contract with (numeric.py:1145-1191), so
+    the device does ONE einsum per coefficient set.
+
+    Returns (tg, td) with K = Gamma.tg + Delta.td via
+    '...kl,klij->...ij'.
+    """
+    def compute():
+        tr = basis.four_element_traces.real
+        x1 = tr.transpose(0, 1, 3, 2)          # T_klji
+        tg = -0.5 * (x1
+                     - tr.transpose(0, 2, 3, 1)   # T_kjli
+                     - tr.transpose(0, 2, 1, 3)   # T_kilj
+                     + tr.transpose(0, 3, 1, 2))  # T_kijl
+        td = -0.5 * (x1
+                     - tr.transpose(1, 0, 3, 2)   # T_lkji
+                     - tr                          # T_klij
+                     + tr.transpose(1, 0, 2, 3))  # T_lkij
+        return (np.ascontiguousarray(tg), np.ascontiguousarray(td))
+    return basis._cached('cumulant_trace_combos', compute)
+
+
+@jax.jit
+def _cumulant_contract_core(coeff, combo):
+    return jnp.einsum('...kl,klij->...ij', coeff, combo)
+
+
+@functools.partial(jax.jit, static_argnames=('n_basis',))
+def _cumulant_1q_core(gamma, delta, n_basis: int):
+    """Single-qubit closed form (numeric.py:1120-1143) as one jitted
+    call; *delta* is None for first order."""
+    N = n_basis
+    k_fn = jnp.zeros_like(gamma)
+    diag_mask = np.zeros((N, N), dtype=bool)
+    diag_mask[1:, 1:] = ~np.eye(N - 1, dtype=bool)
+    k_fn = k_fn.at[..., diag_mask].set(gamma[..., diag_mask])
+    diag = jnp.diagonal(gamma[..., 1:, 1:], axis1=-2, axis2=-1)
+    total = diag.sum(axis=-1)
+    for i in range(1, N):
+        k_fn = k_fn.at[..., i, i].set(-(total - diag[..., i - 1]))
+    if delta is not None:
+        upd = delta[..., 1:, 1:].swapaxes(-1, -2) - delta[..., 1:, 1:]
+        k_fn = k_fn.at[..., 1:, 1:].add(upd)
+    return k_fn
 
 
 @util.parse_optional_parameters(which=('total', 'correlations'))
@@ -966,37 +1065,35 @@ def calculate_cumulant_function(
         # Single-qubit closed form: K_00 row/col zero; K_ii =
         # -sum_{k!=i, k>0} Gamma_kk; off-diagonal K_ij = Gamma_ij
         # (+ Delta_ji - Delta_ij for second order).
-        gamma = decay_amplitudes
-        k_fn = jnp.zeros_like(gamma)
-        diag_mask = np.zeros((N, N), dtype=bool)
-        diag_mask[1:, 1:] = ~np.eye(N - 1, dtype=bool)
-        k_fn = k_fn.at[..., diag_mask].set(gamma[..., diag_mask])
-        diag = jnp.diagonal(gamma[..., 1:, 1:], axis1=-2, axis2=-1)
-        total = diag.sum(axis=-1)
-        for i in range(1, N):
-            k_fn = k_fn.at[..., i, i].set(-(total - diag[..., i - 1]))
-        if second_order:
-            delta = frequency_shifts
-            upd = (delta[..., 1:, 1:].swapaxes(-1, -2)
-                   - delta[..., 1:, 1:])
-            k_fn = k_fn.at[..., 1:, 1:].add(upd)
-        return k_fn
+        return _cumulant_1q_core(
+            decay_amplitudes,
+            frequency_shifts if second_order else None, N)
 
     # General multi-qubit case (numeric.py:1145-1191):
     # K = -1/2 [ Gamma.(T_klji - T_kjli - T_kilj + T_kijl)
     #           + Delta.(T_klji - T_lkji - T_klij + T_lkij) ]
     gamma = decay_amplitudes
-    k_fn = -(_trace_contract(gamma, pulse.basis, 'klji')
-             - _trace_contract(gamma, pulse.basis, 'kjli')
-             - _trace_contract(gamma, pulse.basis, 'kilj')
-             + _trace_contract(gamma, pulse.basis, 'kijl'))
+    if N <= 64:
+        tg, td = _cumulant_trace_combos(pulse.basis)
+        k_fn = _cumulant_contract_core(gamma, jnp.asarray(tg))
+        if second_order:
+            k_fn = k_fn + _cumulant_contract_core(frequency_shifts,
+                                                  jnp.asarray(td))
+        return k_fn
+
+    # n > 64: stream through the basis without materializing T
+    k_fn = -0.5 * (_trace_contract(gamma, pulse.basis, 'klji')
+                   - _trace_contract(gamma, pulse.basis, 'kjli')
+                   - _trace_contract(gamma, pulse.basis, 'kilj')
+                   + _trace_contract(gamma, pulse.basis, 'kijl'))
     if second_order:
         delta = frequency_shifts
-        k_fn = k_fn - (_trace_contract(delta, pulse.basis, 'klji')
-                       - _trace_contract(delta, pulse.basis, 'lkji')
-                       - _trace_contract(delta, pulse.basis, 'klij')
-                       + _trace_contract(delta, pulse.basis, 'lkij'))
-    return k_fn * 0.5
+        k_fn = k_fn - 0.5 * (
+            _trace_contract(delta, pulse.basis, 'klji')
+            - _trace_contract(delta, pulse.basis, 'lkji')
+            - _trace_contract(delta, pulse.basis, 'klij')
+            + _trace_contract(delta, pulse.basis, 'lkij'))
+    return k_fn
 
 
 # -----------------------------------------------------------------------------
@@ -1007,7 +1104,8 @@ def error_transfer_matrix(pulse=None, spectrum=None, omega=None,
                           cumulant_function=None,
                           show_progressbar: bool = False,
                           memory_parsimonious: bool = False,
-                          cache_intermediates: bool = False) -> jnp.ndarray:
+                          cache_intermediates: Optional[bool] = None
+                          ) -> jnp.ndarray:
     r"""K16: U_tilde = exp K(tau) (numeric.py:1938-2059).  The cumulant
     function is real, so this is a real float64 expm -- natively
     supported on TPU."""

@@ -19,6 +19,7 @@ from collections.abc import Mapping
 from types import MappingProxyType
 from typing import Dict, Optional, Sequence, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -74,6 +75,28 @@ def _parse_hamiltonian(H, n_dt: int, H_str: str):
     coeffs = np.asarray(coeffs, dtype=float)
     order = np.argsort(identifiers)
     return opers[order], identifiers[order], coeffs[order]
+
+
+@jax.jit
+def _total_phases_jit(omega, tau):
+    return cexp(omega * tau)
+
+
+@jax.jit
+def _trace_basis_axes(ff_gen: C) -> C:
+    """Generalized -> fidelity reduction tr over the basis axes; jitted
+    (eager per-op dispatch is ~40-60 ms on the tunneled TPU)."""
+    return ff_gen.trace(axis1=2, axis2=3)
+
+
+@jax.jit
+def _trace_pc_basis_axes(ff_pc_gen: C) -> C:
+    return ff_pc_gen.trace(axis1=4, axis2=5)
+
+
+@jax.jit
+def _sum_pulse_axes(f_pc: C) -> C:
+    return f_pc.sum(axis=0).sum(axis=0)
 
 
 def _join_equal_segments(pulse: 'PulseSequence'):
@@ -411,11 +434,11 @@ class PulseSequence:
         (pulse_sequence.py:577-586)."""
         if not all(self.is_cached(a) for a in ('eigvals', 'eigvecs',
                                                'propagators')):
-            hamiltonian = util.ceinsum('jmn,jg->gmn', self.c_opers_dev,
-                                       jnp.asarray(self.c_coeffs))
-            self.eigvals, self.eigvecs, self.propagators = \
-                numeric.diagonalize(hamiltonian, jnp.asarray(self.dt))
-        self.total_propagator = self.propagators[-1]
+            (self.eigvals, self.eigvecs, self.propagators,
+             self.total_propagator) = numeric.assemble_and_diagonalize(
+                self.c_opers_dev, self.c_coeffs, self.dt)
+        elif not self.is_cached('total_propagator'):
+            self.total_propagator = self.propagators[-1]
 
     @property
     def eigvals(self):
@@ -489,7 +512,8 @@ class PulseSequence:
         if self.is_cached('total_phases'):
             return self._frequency_data['total_phases']
         self.cache_total_phases(
-            self.omega, cexp(jnp.asarray(self.omega) * self.tau))
+            self.omega, _total_phases_jit(jnp.asarray(self.omega),
+                                          self.tau))
         return self._frequency_data['total_phases']
 
     def cache_total_phases(self, omega, total_phases=None) -> None:
@@ -608,9 +632,9 @@ class PulseSequence:
                         self._frequency_data['filter_function_pc'] = f_pc
                     else:
                         self._frequency_data['filter_function_pc'] = \
-                            f_pc.trace(axis1=4, axis2=5)
+                            _trace_pc_basis_axes(f_pc)
                         self._frequency_data['filter_function_pc_gen'] = f_pc
-                    filter_function = f_pc.sum(axis=0).sum(axis=0)
+                    filter_function = _sum_pulse_axes(f_pc)
                 else:
                     filter_function = numeric.calculate_filter_function(
                         control_matrix, which)
@@ -636,7 +660,7 @@ class PulseSequence:
                 self._frequency_data['filter_function'] = filter_function
             else:
                 self._frequency_data['filter_function'] = \
-                    filter_function.trace(axis1=2, axis2=3)
+                    _trace_basis_axes(filter_function)
                 self._frequency_data['filter_function_gen'] = filter_function
         else:
             self._frequency_data['filter_function_2'] = filter_function
