@@ -365,8 +365,13 @@ def config_dd(iters=5, batch=32, n=16, n_omega=400):
 # -----------------------------------------------------------------------------
 # second_order: cumulant function / error transfer matrix
 # -----------------------------------------------------------------------------
-def config_second_order(iters=3, n_omega=200):
+def config_second_order(iters=3, n_omega=200, batch=8):
+    """Batch of *batch* distinct pulses, one fused vmapped device call
+    (functional.batched_error_transfer_matrix); the reference evaluates
+    the same pulses sequentially."""
+    import jax.numpy as jnp
     import filter_functions_tpu as ff_tpu
+    from filter_functions_tpu import functional
 
     rng = np.random.default_rng(7)
     d, n_dt = 4, 8
@@ -379,37 +384,44 @@ def config_second_order(iters=3, n_omega=200):
                     * np.eye(d) / d)
 
     c_opers, n_opers = herm_traceless(2), herm_traceless(2)
-    c_coeffs = rng.standard_normal((2, n_dt))
-    n_coeffs = np.ones((2, n_dt))
-    dt = 1 - rng.random(n_dt)
+    c_coeffs = rng.standard_normal((batch, 2, n_dt))
+    n_coeffs = np.ones((batch, 2, n_dt))
+    dt = np.broadcast_to(1 - rng.random(n_dt), (batch, n_dt)).copy()
     omega = np.geomspace(1e-1, 1e1, n_omega)
     spectrum = 1e-4 / omega
 
-    def ours(i):
-        pulse = ff_tpu.PulseSequence.from_arrays(
-            c_opers, np.array(['A', 'B']),
-            c_coeffs * (1.0 + 1e-3 * i), n_opers,
-            np.array(['a', 'b']), n_coeffs, dt)
-        out = ff_tpu.error_transfer_matrix(pulse, spectrum, omega,
-                                           second_order=True)
-        return _block(out)
+    basis = ff_tpu.Basis.ggm(d)
+    from filter_functions_tpu.cplx import asc
 
-    ours_etm = np.asarray(ours(0))          # warm compile, i=0
-    seconds = _median_timed(ours, iters)
+    def ours(i):
+        p = functional.PulseArrays(
+            c_opers=asc(c_opers),
+            c_coeffs=jnp.asarray(c_coeffs * (1.0 + 1e-3 * i)),
+            n_opers=asc(n_opers), n_coeffs=jnp.asarray(n_coeffs),
+            dt=jnp.asarray(dt), basis=basis.dev)
+        out = functional.batched_error_transfer_matrix(
+            p, spectrum, omega, basis, second_order=True)
+        return np.asarray(out)
+
+    ours_etm = ours(0)                       # warm compile, i=0
+    seconds = _median_timed(ours, iters) / batch
 
     try:
         ref = _install_reference()
 
         def theirs(i):
-            rp = ref.PulseSequence.from_arrays(
-                c_opers, np.array(['A', 'B']),
-                c_coeffs * (1.0 + 1e-3 * i), n_opers,
-                np.array(['a', 'b']), n_coeffs, dt)
-            return ref.error_transfer_matrix(rp, spectrum, omega,
-                                             second_order=True)
+            out = []
+            for b in range(batch):
+                rp = ref.PulseSequence.from_arrays(
+                    c_opers, np.array(['A', 'B']),
+                    c_coeffs[b] * (1.0 + 1e-3 * i), n_opers,
+                    np.array(['a', 'b']), n_coeffs[b], dt[b])
+                out.append(ref.error_transfer_matrix(
+                    rp, spectrum, omega, second_order=True))
+            return np.stack(out)
 
         ref_etm = theirs(0)
-        ref_seconds = _min_time(theirs, iters)
+        ref_seconds = _min_time(theirs, iters) / batch
         parity = float(np.abs(ours_etm - ref_etm).max())
     except Exception as err:
         print(f'# reference timing unavailable: {err}', file=sys.stderr)
@@ -417,7 +429,8 @@ def config_second_order(iters=3, n_omega=200):
 
     return {
         'metric': ('second-order cumulant / error transfer matrix '
-                   f'(d=4, {n_dt} segments, {n_omega} frequencies); '
+                   f'(d=4, {n_dt} segments, {n_omega} frequencies, '
+                   f'batch {batch}, fused single-jit); '
                    f'max element parity vs reference {parity:.2e}'),
         'value': seconds * 1e3,
         'unit': 'ms/evaluation',

@@ -24,7 +24,8 @@ from .basis import Basis
 from .cplx import C, asc, ceinsum, cexp
 
 __all__ = ['PulseArrays', 'make_pulse_arrays', 'control_matrix',
-           'fidelity_filter_function', 'infidelity', 'batched_infidelity']
+           'fidelity_filter_function', 'infidelity', 'batched_infidelity',
+           'error_transfer_matrix']
 
 
 class PulseArrays(NamedTuple):
@@ -75,6 +76,92 @@ def infidelity(p: PulseArrays, spectrum: jnp.ndarray,
     integrand = diag * spectrum
     d = p.c_opers.shape[-1]
     return util.integrate(integrand, omega) / (2 * np.pi * d)
+
+
+def error_transfer_matrix(p: PulseArrays, spectrum, omega, basis: Basis,
+                          second_order: bool = False) -> jnp.ndarray:
+    """Error transfer matrix exp K from raw pulse arrays as ONE fused
+    device call: diagonalization, per-step control matrices, decay
+    amplitudes, (optionally) the second-order filter function and
+    frequency shifts, the cumulant trace contraction, and the matrix
+    exponential all run in a single executable.
+
+    The object API (:func:`~.numeric.error_transfer_matrix`) computes
+    the identical quantity with cache-population side effects; this is
+    the jit/vmap/grad-composable variant.  *basis* supplies the
+    (host-precombined) four-element trace tensors.
+    """
+    n_nops = p.n_opers.shape[0]
+    spectrum = util.parse_spectrum(np.asarray(spectrum), omega,
+                                   np.arange(n_nops))
+    s = jnp.asarray(spectrum.real)
+    s_im = jnp.asarray(spectrum.imag) if np.iscomplexobj(spectrum) \
+        else None
+    tg, td = numeric._cumulant_trace_combos(basis)
+    return _etm_core(p, s, s_im, jnp.asarray(omega), jnp.asarray(tg),
+                     jnp.asarray(td) if second_order else None,
+                     second_order, tuple(range(n_nops)))
+
+
+@functools.partial(jax.jit, static_argnames=('second_order', 'idx'))
+def _etm_core(p: PulseArrays, s, s_im, omega, tg, td,
+              second_order: bool, idx):
+    ham = ceinsum('jmn,jg->gmn', p.c_opers, p.c_coeffs)
+    eigvals, eigvecs, propagators = numeric._diagonalize_jit(ham, p.dt)
+    t = jnp.concatenate([jnp.zeros(1, p.dt.dtype), jnp.cumsum(p.dt)])
+    (_, n_t, b_t, ph, integral) = numeric._ctrlmat_step_terms(
+        eigvals, eigvecs, propagators[:-1], omega, p.basis, p.n_opers,
+        p.n_coeffs, p.dt, t[:-1])
+    step = numeric._ctrlmat_step_contract(n_t, integral, b_t, ph)
+    ctrl = step.sum(axis=0)
+
+    gamma_igrand = numeric._integrand_core(s, s_im, ctrl, None, idx,
+                                           'total', 'generalized')
+    gamma = util.integrate(gamma_igrand, omega) / (2 * np.pi)
+    k_fn = numeric._cumulant_contract_core(gamma, tg)
+    if second_order:
+        cumul = step.cumsum(axis=0)[:-1]
+        f2 = numeric._second_order_scan(eigvals, n_t, b_t, step, cumul,
+                                        omega, p.dt, False, False)[0]
+        delta_igrand = numeric._integrand_core(s, s_im, None, f2, idx,
+                                               'total', 'generalized')
+        delta = util.integrate(delta_igrand, omega) / (2 * np.pi)
+        k_fn = k_fn + numeric._cumulant_contract_core(delta, td)
+    k_total = k_fn.sum(axis=tuple(range(k_fn.ndim - 2)))
+    from .cplx import expm_real
+    return expm_real(k_total)
+
+
+def batched_error_transfer_matrix(p: PulseArrays, spectrum, omega,
+                                  basis: Basis,
+                                  second_order: bool = False
+                                  ) -> jnp.ndarray:
+    """Error transfer matrices for a batch of pulses (leading batch
+    axis on c_coeffs / n_coeffs / dt; shared operators, basis, spectrum
+    and frequencies) in one vmapped fused executable.
+
+    Output shape (batch, d^2, d^2)."""
+    n_nops = p.n_opers.shape[0]
+    spectrum = util.parse_spectrum(np.asarray(spectrum), omega,
+                                   np.arange(n_nops))
+    s = jnp.asarray(spectrum.real)
+    s_im = jnp.asarray(spectrum.imag) if np.iscomplexobj(spectrum) \
+        else None
+    tg, td = numeric._cumulant_trace_combos(basis)
+    return _etm_batched(p, s, s_im, jnp.asarray(omega), jnp.asarray(tg),
+                        jnp.asarray(td) if second_order else None,
+                        second_order, tuple(range(n_nops)))
+
+
+@functools.partial(jax.jit, static_argnames=('second_order', 'idx'))
+def _etm_batched(p: PulseArrays, s, s_im, omega, tg, td,
+                 second_order: bool, idx):
+    def single(c_coeffs, n_coeffs, dt):
+        pa = PulseArrays(p.c_opers, c_coeffs, p.n_opers, n_coeffs, dt,
+                         p.basis)
+        return _etm_core.__wrapped__(pa, s, s_im, omega, tg, td,
+                                     second_order, idx)
+    return jax.vmap(single)(p.c_coeffs, p.n_coeffs, p.dt)
 
 
 def batched_infidelity(p: PulseArrays, spectrum: jnp.ndarray,

@@ -357,6 +357,37 @@ def _ctrlmat_contract(n_opers_transformed, integral, basis_transformed,
     return out._map(lambda x: x.transpose(1, 2, 0))        # (j, k, o)
 
 
+def _ctrlmat_step_contract(n_opers_transformed, integral, basis_transformed,
+                           phase_factors) -> C:
+    """Per-step variant of :func:`_ctrlmat_contract`:
+    'go,jgmn,gomn,gknm->gjko' keeping the segment axis.
+
+    Mode 'ozaki': batched-over-g MXU matmul P[g] (n_w x d^2) @ D[g]
+    (d^2 x n_nops*n_basis) instead of the emulated-f64 einsum.
+    """
+    from . import config
+    if config.contraction_mode() != 'ozaki':
+        return ceinsum('go,jgmn,gomn,gknm->gjko', phase_factors,
+                       n_opers_transformed, integral, basis_transformed)
+
+    from .ops.ozaki import ozaki_matmul_c
+    G, n_w, d, _ = integral.shape
+    n_nops = n_opers_transformed.shape[0]
+    n_basis = basis_transformed.shape[1]
+    p_mat = (integral * phase_factors[:, :, None, None]).reshape(
+        G, n_w, d * d)
+    b_t = n_opers_transformed._map(
+        lambda x: x.transpose(1, 2, 3, 0))                 # (g, m, n, j)
+    c_t = basis_transformed._map(
+        lambda x: x.transpose(0, 3, 2, 1))                 # (g, m, n, k)
+    d_mat = (b_t[..., :, None] * c_t[..., None, :]).reshape(
+        G, d * d, n_nops * n_basis)
+    out_re, out_im = ozaki_matmul_c(p_mat.re, p_mat.im,
+                                    d_mat.re, d_mat.im)
+    out = C(out_re, out_im).reshape(G, n_w, n_nops, n_basis)
+    return out._map(lambda x: x.transpose(0, 2, 3, 1))    # (g, j, k, o)
+
+
 @jax.jit
 def _ctrlmat_scratch_cached(eigvals, eigvecs, propagators, omega, basis,
                             n_opers, n_coeffs, dt, t):
@@ -365,8 +396,8 @@ def _ctrlmat_scratch_cached(eigvals, eigvecs, propagators, omega, basis,
         eigvals, eigvecs, propagators[:-1], omega, basis, n_opers,
         n_coeffs, dt, t[:-1])
     # per-step control matrices (G, n_nops, n_basis, n_omega)
-    step = ceinsum('go,jgmn,gomn,gknm->gjko', phase_factors,
-                   n_opers_transformed, integral, basis_transformed)
+    step = _ctrlmat_step_contract(n_opers_transformed, integral,
+                                  basis_transformed, phase_factors)
     result = step.sum(axis=0)
     cumulative = step.cumsum(axis=0)[:-1]
     intermediates = dict(
@@ -650,6 +681,40 @@ def calculate_second_order_filter_function_from_scratch(
     return result
 
 
+def _second_order_incomplete_contract(int2: C, nob: C) -> C:
+    r"""The K10 incomplete-step contraction
+    'oijmn,akij,blmn->abklo' for one segment.
+
+    Mode 'ozaki' (TPU + x64): two MXU matmul stages instead of the
+    software-emulated f64 einsum::
+
+        T[(o ij), B]  = I[(o ij), (mn)] @ nob^T[(mn), B]
+        S[A, (o B)]   = nob[A, (ij)] @ T'[(ij), (o B)]
+
+    with A = B = (a k) flattened noise-oper x basis indices.  The
+    reshuffles between stages are pure data movement (free of f64
+    emulation); only the tiny slice decompositions are elementwise.
+    """
+    from . import config
+    n_nops, n_basis, d, _ = nob.shape
+    n_w = int2.shape[0]
+    d2 = d * d
+    A = n_nops * n_basis
+    if config.contraction_mode() != 'ozaki':
+        return ceinsum('oijmn,akij,blmn->abklo', int2, nob, nob)
+
+    from .ops.ozaki import ozaki_matmul_c
+    i2 = int2.reshape(n_w * d2, d2)                       # ((o ij), mn)
+    nob_flat = nob.reshape(A, d2)                          # (A, ij|mn)
+    nob_t = nob_flat._map(lambda x: x.T)                   # (mn, B)
+    t_re, t_im = ozaki_matmul_c(i2.re, i2.im, nob_t.re, nob_t.im)
+    t = C(t_re, t_im).reshape(n_w, d2, A)
+    t2 = t._map(lambda x: x.transpose(1, 0, 2).reshape(d2, n_w * A))
+    s_re, s_im = ozaki_matmul_c(nob_flat.re, nob_flat.im, t2.re, t2.im)
+    s = C(s_re, s_im).reshape(n_nops, n_basis, n_w, n_nops, n_basis)
+    return s._map(lambda x: x.transpose(0, 3, 1, 4, 2))   # (a,b,k,l,o)
+
+
 @jax.jit
 def _second_order_step_terms_jit(eigvals, eigvecs, propagators, omega,
                                  basis_dev, n_opers, n_coeffs, dt, t):
@@ -658,7 +723,7 @@ def _second_order_step_terms_jit(eigvals, eigvecs, propagators, omega,
     (_, n_t, b_t, ph, integral1) = _ctrlmat_step_terms(
         eigvals, eigvecs, propagators[:-1], omega, basis_dev,
         n_opers, n_coeffs, dt, t[:-1])
-    step = ceinsum('go,jgmn,gomn,gknm->gjko', ph, n_t, integral1, b_t)
+    step = _ctrlmat_step_contract(n_t, integral1, b_t, ph)
     return n_t, b_t, step, step.cumsum(axis=0)[:-1]
 
 
@@ -684,8 +749,8 @@ def _second_order_scan(eigvals, n_opers_transformed, basis_transformed,
         int2 = _second_order_integral_single(omega, ev_g, dt_g)
         # n_opers_basis[a,k,i,j] = n_t[a,i,j] * b_t[k,j,i]
         nob = ceinsum('aij,kji->akij', n_t_g, b_t_g)
-        incomplete = incomplete + ceinsum('oijmn,akij,blmn->abklo',
-                                          int2, nob, nob)
+        incomplete = incomplete + _second_order_incomplete_contract(
+            int2, nob)
         complete = complete + ceinsum('ako,blo->abklo',
                                       step_g.conj(), cumul_g)
         out = (int2 if cache_int else None,

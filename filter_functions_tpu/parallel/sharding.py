@@ -68,13 +68,19 @@ def _replicate(x, mesh: Mesh):
     return jax.tree.map(put, x)
 
 
+# Module-level jit wrappers: a fresh jax.jit(f) per call would
+# re-trace on every invocation (the tracing cache is per-wrapper).
+_ff_jit = jax.jit(functional.fidelity_filter_function)
+_infid_jit = jax.jit(functional.infidelity)
+
+
 def sharded_filter_function(p: functional.PulseArrays,
                             omega: jnp.ndarray, mesh: Mesh) -> C:
     """Fidelity filter function with the frequency axis sharded over
     the mesh. Returns a distributed array (omega-sharded)."""
     p = _replicate(p, mesh)
     omega = shard_omega(omega, mesh)
-    return jax.jit(functional.fidelity_filter_function)(p, omega)
+    return _ff_jit(p, omega)
 
 
 def sharded_infidelity(p: functional.PulseArrays, spectrum, omega,
@@ -84,7 +90,7 @@ def sharded_infidelity(p: functional.PulseArrays, spectrum, omega,
     p = _replicate(p, mesh)
     omega = shard_omega(omega, mesh)
     spectrum = shard_omega(spectrum, mesh)
-    return jax.jit(functional.infidelity)(p, spectrum, omega)
+    return _infid_jit(p, spectrum, omega)
 
 
 # -----------------------------------------------------------------------------

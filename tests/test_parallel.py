@@ -38,6 +38,38 @@ def test_functional_matches_object_api():
     assert_allclose(got_i, want_i, rtol=1e-12)
 
 
+def test_functional_error_transfer_matrix():
+    """The fused ETM pipeline is bit-compatible with the object API,
+    first and second order; the batched variant vmaps correctly."""
+    pulse = rand_pulse_sequence(3, 4, 2, 2)
+    omega = np.geomspace(0.1, 10, 24)
+    spectrum = 1e-3 / omega
+    p = functional.make_pulse_arrays(pulse)
+    for second in (False, True):
+        got = np.asarray(functional.error_transfer_matrix(
+            p, spectrum, omega, pulse.basis, second_order=second))
+        want = np.asarray(ff.error_transfer_matrix(
+            pulse, spectrum, omega, second_order=second))
+        assert_allclose(got, want, atol=1e-13)
+
+    # batched: stack three jittered variants of the pulse
+    scales = np.array([1.0, 1.01, 0.99])
+    pb = functional.PulseArrays(
+        p.c_opers, jnp.asarray(scales[:, None, None] * p.c_coeffs),
+        p.n_opers, jnp.broadcast_to(p.n_coeffs, (3,) + p.n_coeffs.shape),
+        jnp.broadcast_to(p.dt, (3,) + p.dt.shape), p.basis)
+    got_b = np.asarray(functional.batched_error_transfer_matrix(
+        pb, spectrum, omega, pulse.basis, second_order=True))
+    assert got_b.shape == (3, 9, 9)
+    for b, scale in enumerate(scales):
+        single = functional.PulseArrays(
+            p.c_opers, jnp.asarray(scale * p.c_coeffs), p.n_opers,
+            p.n_coeffs, p.dt, p.basis)
+        want_b = np.asarray(functional.error_transfer_matrix(
+            single, spectrum, omega, pulse.basis, second_order=True))
+        assert_allclose(got_b[b], want_b, atol=1e-13)
+
+
 def test_sharded_ff_matches_single_device(mesh8):
     pulse = rand_pulse_sequence(2, 5)
     omega = jnp.linspace(0.5, 10, 64)   # divisible by 8
