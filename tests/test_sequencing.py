@@ -360,6 +360,126 @@ class TestHamiltonianMerging:
         assert c == p and c is not p
 
 
+class TestExtendWithIdentity:
+    """Extending a 1-qubit pulse into an N-qubit register equals the
+    explicitly built big-register pulse, with caches carried over
+    (cf. reference test_sequencing.py:804-918)."""
+
+    @pytest.mark.parametrize('N,target', [(2, 0), (2, 1), (3, 1)])
+    def test_extend_matches_explicit(self, N, target):
+        from filter_functions_tpu import util
+        ID, X, Y, Z = util.paulis
+        n_dt = 6
+        local = np.random.default_rng(5 + N + target)
+        coeffs = local.standard_normal((3, n_dt))
+        ids = ['X', 'Y', 'Z']
+        pulse = ff.PulseSequence(
+            list(zip((X, Y, Z), coeffs, ids)),
+            list(zip((X, Y, Z), np.ones((3, n_dt)), ids)),
+            np.ones(n_dt), basis=ff.Basis.pauli(1))
+        omega = util.get_sample_frequencies(pulse, n_samples=30)
+
+        ext_opers = util.tensor(*np.insert(
+            np.tile(ID, (N - 1, 3, 1, 1)), target, (X, Y, Z), axis=0))
+        ext_ids = [i + f'_{target}' for i in ids]
+        ext_pulse = ff.PulseSequence(
+            list(zip(ext_opers, coeffs, ext_ids)),
+            list(zip(ext_opers, np.ones((3, n_dt)), ext_ids)),
+            np.ones(n_dt), basis=ff.Basis.pauli(N))
+
+        # default: target-qubit suffix on identifiers, no caches
+        test = ff.extend([(pulse, target)], N)
+        assert list(test.c_oper_identifiers) == ext_ids
+        assert test == ext_pulse
+        for key in ('eigvals', 'propagators', 'total_propagator',
+                    'control_matrix', 'filter function'):
+            assert not test.is_cached(key)
+
+        # custom identifier mapping
+        mapping = {i: 'M' + i for i in ids}
+        test_m = ff.extend([(pulse, target, mapping)], N)
+        assert list(test_m.c_oper_identifiers) == ['MX', 'MY', 'MZ']
+
+        # cached input -> cached, correct output
+        pulse.cache_filter_function(omega)
+        ext_pulse.cache_filter_function(omega)
+        test = ff.extend([(pulse, target)], N)
+        for key in ('eigvals', 'propagators', 'total_propagator',
+                    'total_propagator_liouville', 'total_phases',
+                    'control_matrix', 'filter function'):
+            assert test.is_cached(key), key
+        assert_allclose(to_np(test.propagators),
+                        to_np(ext_pulse.propagators), atol=1e-13)
+        assert_allclose(to_np(test.total_propagator),
+                        to_np(ext_pulse.total_propagator), atol=1e-13)
+        assert_allclose(np.asarray(test.total_propagator_liouville),
+                        np.asarray(ext_pulse.total_propagator_liouville),
+                        atol=1e-12)
+        assert_allclose(to_np(test.get_total_phases(omega)),
+                        to_np(ext_pulse.get_total_phases(omega)),
+                        atol=1e-13)
+        assert_allclose(to_np(test.get_control_matrix(omega)),
+                        to_np(ext_pulse.get_control_matrix(omega)),
+                        atol=1e-11)
+        assert_allclose(to_np(test.get_filter_function(omega)),
+                        to_np(ext_pulse.get_filter_function(omega)),
+                        atol=1e-10)
+
+    def test_extend_caching_decision_matrix(self):
+        """cache_diagonalization / cache_filter_function inference and
+        overrides (reference test_sequencing.py:918-1018)."""
+        from filter_functions_tpu import util
+        p1 = rand_pulse_sequence(2, 5, btype='Pauli')
+        p2 = rand_pulse_sequence(2, 5, btype='Pauli')
+        p2.dt = p1.dt
+        omega = util.get_sample_frequencies(p1, 30)
+        diag_keys = ('eigvals', 'eigvecs', 'propagators',
+                     'total_propagator')
+        ff_keys = ('total_propagator_liouville', 'total_phases',
+                   'control_matrix', 'filter function')
+
+        # neither diagonalized: nothing cached
+        p1.diagonalize()
+        ext = ff.extend([(p1, 0), (p2, 1)])
+        assert not any(ext.is_cached(k) for k in diag_keys + ff_keys)
+        # override: force diagonalization
+        ext = ff.extend([(p1, 0), (p2, 1)], cache_diagonalization=True)
+        assert all(ext.is_cached(k) for k in diag_keys)
+        assert not any(ext.is_cached(k) for k in ff_keys)
+        # both diagonalized: inferred
+        p2.diagonalize()
+        ext = ff.extend([(p1, 0), (p2, 1)])
+        assert all(ext.is_cached(k) for k in diag_keys)
+        assert not any(ext.is_cached(k) for k in ff_keys)
+        # forced off: total_propagator still carried
+        ext = ff.extend([(p1, 0), (p2, 1)], cache_diagonalization=False)
+        assert not any(ext.is_cached(k)
+                       for k in ('eigvals', 'eigvecs', 'propagators'))
+        assert ext.is_cached('total_propagator')
+
+        # FF cached on one: not inferred
+        p1.cache_filter_function(omega)
+        ext = ff.extend([(p1, 0), (p2, 1)])
+        assert not any(ext.is_cached(k) for k in ff_keys)
+        # override with omega: cached
+        ext = ff.extend([(p1, 0), (p2, 1)], cache_filter_function=True,
+                        omega=omega)
+        assert all(ext.is_cached(k) for k in ff_keys)
+        # FF cached on both: inferred
+        p2.cache_filter_function(omega)
+        ext = ff.extend([(p1, 0), (p2, 1)])
+        assert all(ext.is_cached(k) for k in ff_keys)
+        # forced off
+        ext = ff.extend([(p1, 0), (p2, 1)], cache_filter_function=False)
+        assert not any(ext.is_cached(k) for k in ff_keys)
+        # extended FF equals the from-scratch computation
+        ext_cached = ff.extend([(p1, 0), (p2, 1)])
+        got = to_np(ext_cached.get_filter_function(omega))
+        ext_cached.cleanup('all')
+        want = to_np(ext_cached.get_filter_function(omega))
+        assert_allclose(got, want, atol=1e-11)
+
+
 class TestExtendErrors:
     def test_extend_exceptions(self):
         """Every failure mode pinned by the reference
