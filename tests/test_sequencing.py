@@ -561,6 +561,125 @@ class TestExtendErrors:
                           [np.kron(Z, Z), [1.0], 'ZZ']])
 
 
+class TestPulseCorrelationSemantics:
+    """Pulse-correlation control matrix / FF caching and consistency
+    (cf. reference tests/test_core.py:808-996)."""
+
+    def setup_method(self):
+        X, Y, Z = sigma[1:]
+        self.omega = np.linspace(-20, 20, 120)
+        self.px = ff.PulseSequence([[X, [np.pi / 2]]],
+                                   [[X, [1]], [Y, [1]], [Z, [1]]], [1])
+        self.py = ff.PulseSequence([[Y, [np.pi / 4]]],
+                                   [[X, [1]], [Y, [1]], [Z, [1]]], [1])
+
+    def test_unequal_cached_omega_raises(self):
+        self.px.cache_filter_function(self.omega)
+        self.py.cache_filter_function(self.omega + 1)
+        with pytest.raises(ValueError):
+            ff.concatenate([self.px, self.py],
+                           calc_pulse_correlation_FF=True)
+
+    def test_pc_caching_and_consistency(self):
+        from filter_functions_tpu import numeric, util
+        omega = self.omega
+        self.px.cache_filter_function(omega)
+        self.py.cache_filter_function(omega)
+        p1 = self.px @ self.py
+        p2 = ff.concatenate([self.px, self.py],
+                            calc_pulse_correlation_FF=True,
+                            which='fidelity')
+        p3 = ff.concatenate([self.px, self.py],
+                            calc_pulse_correlation_FF=True,
+                            which='generalized')
+        assert p2.is_cached('control_matrix_pc')
+        assert p2.is_cached('filter_function_pc')
+        assert p3.is_cached('control_matrix_pc')
+        assert p3.is_cached('filter_function_pc_gen')
+        assert p1 == p2
+
+        f_pc = to_np(p2.get_pulse_correlation_filter_function())
+        assert f_pc.shape == (2, 2, 3, 3, len(omega))
+        # diagonal blocks real
+        d1, d2 = np.eye(2, dtype=bool), np.eye(3, dtype=bool)
+        assert np.abs(f_pc[d1][:, d2].imag).max() < 1e-14
+        # sums to the total
+        assert_allclose(f_pc.sum((0, 1)),
+                        to_np(p1.get_filter_function(omega)), atol=1e-12)
+
+        # wrong-dimension control matrix
+        with pytest.raises(ValueError):
+            numeric.calculate_pulse_correlation_filter_function(
+                p1.get_control_matrix(omega))
+        # not computed during concatenation
+        with pytest.raises(util.CalculationError):
+            p1.get_pulse_correlation_control_matrix()
+        with pytest.raises(util.CalculationError):
+            ff.infidelity(p1, np.ones_like(omega), omega,
+                          which='correlations')
+        with pytest.raises(ValueError):
+            ff.infidelity(p1, np.ones_like(omega), omega, which='foobar')
+
+        # FF derivable from the pc control matrix
+        cm_pc = p3.get_pulse_correlation_control_matrix()
+        for which in ('fidelity', 'generalized'):
+            assert_allclose(
+                to_np(p3.get_pulse_correlation_filter_function(which)),
+                to_np(numeric.calculate_pulse_correlation_filter_function(
+                    cm_pc, which)), atol=1e-14)
+
+        # seeding a fresh pulse with the pc control matrix
+        p4 = ff.concatenate([self.px, self.py])
+        p4.cleanup('all')
+        p4.cache_filter_function(omega, control_matrix=cm_pc,
+                                 which='generalized')
+        for alias in ('pulse correlation control matrix',
+                      'generalized pulse correlation filter function',
+                      'pulse correlation filter function',
+                      'generalized filter function', 'filter function'):
+            assert p4.is_cached(alias), alias
+        assert_allclose(to_np(p4.get_filter_function(omega)),
+                        to_np(p3.get_filter_function(omega)), atol=1e-13)
+
+        # dropped pc FF is recovered from the cached pc control matrix
+        p3._frequency_data.pop('filter_function_pc', None)
+        assert_allclose(
+            to_np(p3.get_pulse_correlation_filter_function('fidelity')),
+            f_pc, atol=1e-13)
+
+    def test_correlation_infidelities_decompose(self):
+        omega = self.omega
+        spectrum = 1e-2 * omega**0
+        self.px.cache_filter_function(omega)
+        self.py.cache_filter_function(omega)
+        p1 = self.px @ self.py
+        p2 = ff.concatenate([self.px, self.py],
+                            calc_pulse_correlation_FF=True)
+        ids = ['B_0', 'B_2']
+        i_x = np.asarray(ff.infidelity(self.px, spectrum, omega,
+                                       n_oper_identifiers=ids))
+        i_y = np.asarray(ff.infidelity(self.py, spectrum, omega,
+                                       n_oper_identifiers=ids))
+        i_tot = np.asarray(ff.infidelity(p1, spectrum, omega,
+                                         n_oper_identifiers=ids))
+        i_corr = np.asarray(ff.infidelity(p2, spectrum, omega,
+                                          which='correlations',
+                                          n_oper_identifiers=ids))
+        assert_allclose(i_corr.sum(), i_tot.sum(), rtol=1e-10)
+        assert_allclose(i_corr[0, 0], i_x, rtol=1e-10)
+        assert_allclose(i_corr[1, 1], i_y, rtol=1e-10)
+
+        # correlated spectra
+        cross = np.array([[1e-4 / omega**2, 1e-4 * np.exp(-omega**2)],
+                          [1e-4 * np.exp(-omega**2), 1e-4 / omega**2]])
+        i_tot = np.asarray(ff.infidelity(p1, cross, omega,
+                                         n_oper_identifiers=ids))
+        i_corr = np.asarray(ff.infidelity(p2, cross, omega,
+                                          which='correlations',
+                                          n_oper_identifiers=ids))
+        assert_allclose(i_corr.sum(axis=(0, 1)), i_tot, rtol=1e-10)
+
+
 class TestGeneralizedPulseCorrelation:
     def test_generalized_pc_traces_to_fidelity(self):
         omega = np.linspace(0.5, 5, 11)
