@@ -399,6 +399,93 @@ class TestInfidelityModes:
         assert_allclose(thin, fat, atol=1e-14)
 
 
+class TestCumulantFunctionSemantics:
+    """Cumulant function argument handling and structural properties
+    (cf. reference tests/test_core.py:1007-1135)."""
+
+    def test_precomputed_amplitudes_and_shifts(self):
+        pulse = rand_pulse_sequence(2, 2, 1, 1)
+        omega = np.linspace(0.5, 5, 43)
+        spectrum = 1e-2 / omega
+        gamma = numeric.calculate_decay_amplitudes(pulse, spectrum, omega)
+        delta = numeric.calculate_frequency_shifts(pulse, spectrum, omega)
+        k1 = np.asarray(numeric.calculate_cumulant_function(
+            pulse, spectrum, omega))
+        k2 = np.asarray(numeric.calculate_cumulant_function(
+            pulse, decay_amplitudes=gamma))
+        k3 = np.asarray(numeric.calculate_cumulant_function(
+            pulse, spectrum, omega, second_order=True))
+        k4 = np.asarray(numeric.calculate_cumulant_function(
+            pulse, decay_amplitudes=gamma, frequency_shifts=delta,
+            second_order=True))
+        assert_allclose(k1, k2, atol=1e-15)
+        assert_allclose(k3, k4, atol=1e-15)
+
+        with pytest.raises(ValueError):
+            numeric.calculate_cumulant_function(pulse, None, None,
+                                                decay_amplitudes=None)
+        with pytest.raises(ValueError):
+            numeric.calculate_cumulant_function(
+                pulse, None, None, decay_amplitudes=gamma,
+                frequency_shifts=None, second_order=True)
+        with pytest.raises(ValueError):
+            numeric.calculate_cumulant_function(
+                pulse, spectrum, omega, second_order=True,
+                which='correlations')
+        with pytest.raises(ValueError):
+            numeric.calculate_cumulant_function(
+                pulse, spectrum, omega, second_order=True,
+                decay_amplitudes=np.asarray(gamma)[..., 1:, :])
+        with pytest.warns(UserWarning, match='parsimonious'):
+            numeric.calculate_cumulant_function(
+                pulse, spectrum, omega, second_order=True,
+                memory_parsimonious=True)
+
+    @pytest.mark.parametrize('d', [2, 3, 5])
+    def test_second_order_contribution_antihermitian(self, d):
+        from filter_functions_tpu import util
+        pulse = rand_pulse_sequence(d, 3, 2, 2)
+        omega = util.get_sample_frequencies(pulse, n_samples=42)
+        spectrum = 4e-3 / np.abs(omega)
+        pulse.cache_control_matrix(omega, cache_intermediates=True)
+        k1 = np.asarray(numeric.calculate_cumulant_function(
+            pulse, spectrum, omega, second_order=False))
+        k2 = np.asarray(numeric.calculate_cumulant_function(
+            pulse, spectrum, omega, second_order=True))
+        second = k2 - k1
+        assert_allclose(second, -second.transpose(0, 2, 1), atol=1e-15)
+        assert k1.shape == k2.shape
+
+    def test_decay_amplitude_spectrum_raises(self):
+        pulse = rand_pulse_sequence(2, 1, 1, 1)
+        omega = np.linspace(0.5, 5, 43)
+        spectrum = rng.standard_normal(78)
+        for i in range(4):
+            with pytest.raises(ValueError):
+                numeric.calculate_decay_amplitudes(
+                    pulse, np.tile(spectrum, [1] * i), omega)
+
+    def test_convergence_defaults_and_identifiers(self):
+        pulse = rand_pulse_sequence(2, 5, 3, 3)
+
+        def spectrum(w):
+            return w**0
+
+        n, infids = ff.infidelity(pulse, spectrum, {},
+                                  test_convergence=True)
+        assert len(n) == len(infids)
+        ids = [pulse.n_oper_identifiers[i] for i in (0, 2)]
+        n, infids = ff.infidelity(
+            pulse, spectrum,
+            dict(omega_IR=0.1, omega_UV=2, spacing='linear', n_min=10,
+                 n_max=50, n_points=4),
+            test_convergence=True, n_oper_identifiers=ids)
+        assert infids.shape == (len(n), 2)
+        with pytest.raises(ValueError):
+            ff.infidelity(pulse, spectrum, dict(spacing='foobar'),
+                          test_convergence=True)
+
+
 class TestPropagatorAtArbT:
     def test_matches_segment_boundaries(self):
         p = rand_pulse_sequence(2, 4)
