@@ -29,6 +29,55 @@ class TestConcatenation:
         assert_allclose(to_np(parts.get_filter_function(omega)), full,
                         atol=1e-12)
 
+    def test_slicing_semantics(self):
+        """__getitem__ over slices, steps, boolean masks, plus raises
+        (cf. reference test_sequencing.py:95-131)."""
+        pulse = rand_pulse_sequence(2, 8)
+        parts = [p for p in pulse]
+        assert len(pulse) == 8 and len(parts) == 8
+        assert ff.concatenate(parts) == pulse
+        assert pulse[3] == parts[3]
+        assert pulse == ff.concatenate([pulse[:3], pulse[3:]])
+        assert pulse[::-1] == ff.concatenate(parts[::-1])
+        mask = np.array([1, 0, 1, 0, 1, 1, 0, 1], bool)
+        assert pulse[mask] == ff.concatenate(
+            [p for p, b in zip(parts, mask) if b])
+        for bad in (slice(0, 0), (1, 3), 'a'):
+            with pytest.raises(IndexError):
+                pulse[bad]
+        with pytest.raises(IndexError):
+            pulse[np.zeros(8, bool)]
+
+    def test_prefix_slice_cache_reuse(self):
+        """pulse[:i] reuses the cumulative per-step control matrix and
+        second-order FF intermediates; values equal from-scratch
+        (reference test_sequencing.py:141-159)."""
+        from filter_functions_tpu import util
+        pulse = rand_pulse_sequence(3, 6, 2, 2)
+        omega = util.get_sample_frequencies(pulse, 11)
+        pulse.cache_control_matrix(omega, cache_intermediates=True)
+        pulse.cache_filter_function(omega, order=2,
+                                    cache_intermediates=True,
+                                    cache_second_order_cumulative=True)
+        for i in range(1, len(pulse)):
+            slc = pulse[:i]
+            assert slc.is_cached('control_matrix')
+            assert slc.is_cached('filter_function_2')
+            cm = to_np(slc.get_control_matrix(omega))
+            f2 = to_np(slc.get_filter_function(omega, order=2))
+            slc.cleanup('all')
+            assert_allclose(cm, to_np(slc.get_control_matrix(omega)),
+                            atol=1e-13)
+            assert_allclose(f2, to_np(slc.get_filter_function(omega,
+                                                              order=2)),
+                            atol=1e-13)
+
+    def test_pulse_sequence_object_array(self):
+        pulses = [rand_pulse_sequence(2, 3) for _ in range(8)]
+        array = np.array(pulses)
+        assert array.dtype == np.dtype('O')
+        assert array.shape == (8,)
+
     def test_cached_vs_scratch(self):
         """Concatenating pulses with cached control matrices must give
         the same FF as computing the merged pulse from scratch."""
