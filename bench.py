@@ -35,7 +35,9 @@ import numpy as np
 
 REPO = Path(__file__).parent
 N_OMEGA = 1000
-BATCH = 8
+#: Larger batches amortize per-call overheads (batch 8/16/24/32 at
+#: chunk 2: 35.7/35.0/33.0/32.8 ms/pulse); 32 is the knee.
+BATCH = 32
 #: Pulses evaluated concurrently inside one chunk: vmap over the whole
 #: batch keeps every pulse's Ozaki slice workspaces live at once and
 #: goes HBM-bound (42 ms/pulse at batch 8 vs 35.5 chunked by 2).
