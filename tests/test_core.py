@@ -399,6 +399,50 @@ class TestInfidelityModes:
         assert_allclose(thin, fat, atol=1e-14)
 
 
+class TestIsCachedAliasMatrix:
+    """Every human-readable alias maps onto the right raw cache slot
+    (reference tests/test_core.py:358-471): set the raw key, query the
+    alias; clear, query again."""
+
+    DATA = {'eigenvalues': 'eigvals', 'eigenvectors': 'eigvecs',
+            'propagators': 'propagators',
+            'total propagator': 'total_propagator',
+            'total propagator liouville': 'total_propagator_liouville'}
+    FREQ = {'frequencies': 'omega', 'total phases': 'total_phases',
+            'filter function': 'filter_function',
+            'fidelity filter function': 'filter_function',
+            'generalized filter function': 'filter_function_gen',
+            'pulse correlation filter function': 'filter_function_pc',
+            'fidelity pulse correlation filter function':
+                'filter_function_pc',
+            'generalized pulse correlation filter function':
+                'filter_function_pc_gen',
+            'second order filter function': 'filter_function_2',
+            'control matrix': 'control_matrix',
+            'pulse correlation control matrix': 'control_matrix_pc'}
+
+    def test_alias_matrix(self):
+        p = rand_pulse_sequence(2, 3)
+        for alias, key in self.DATA.items():
+            assert not p.is_cached(alias)
+            p._data[key] = np.zeros(1)       # mock attribute
+            assert p.is_cached(alias)
+            # underscore spelling works too
+            assert p.is_cached(alias.replace(' ', '_'))
+            del p._data[key]
+            assert not p.is_cached(alias)
+        for alias, key in self.FREQ.items():
+            assert not p.is_cached(alias)
+            p._frequency_data[key] = np.zeros(1)
+            assert p.is_cached(alias)
+            assert p.is_cached(alias.replace(' ', '_'))
+            del p._frequency_data[key]
+            assert not p.is_cached(alias)
+        # raw intermediates keys are queryable directly
+        p._intermediates['n_opers_transformed'] = np.zeros(1)
+        assert p.is_cached('n_opers_transformed')
+
+
 class TestCumulantFunctionSemantics:
     """Cumulant function argument handling and structural properties
     (cf. reference tests/test_core.py:1007-1135)."""
