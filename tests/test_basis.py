@@ -249,6 +249,61 @@ class TestExpansion:
         host = expand(m, b, hermitian=True)
         assert_allclose(np.asarray(dev), host, atol=1e-13)
 
+    def test_expand_dtypes_and_method_equivalence(self):
+        """Expansion dtypes and the pauli/ggm method equivalence
+        (reference tests/test_basis.py:205-236)."""
+        b = Basis.ggm(3)
+        r = expand(rng.standard_normal((3, 3)), b, hermitian=False)
+        assert np.asarray(r).dtype == np.complex128
+        r = expand(rand_herm(3), b, hermitian=True)
+        assert np.asarray(r).dtype == np.float64
+        r = ggm_expand(rand_herm(3), hermitian=True)
+        assert np.asarray(r).dtype == np.float64
+        r = ggm_expand(rng.standard_normal((3, 3)), hermitian=False)
+        assert np.asarray(r).dtype == np.complex128
+
+        pauli, ggm = Basis.pauli(1), Basis.ggm(2)
+        m = rand_herm(2, 3)
+        assert_allclose(pauli.expand(m, hermitian=True, tidyup=True),
+                        ggm.expand(m, hermitian=True, tidyup=True),
+                        atol=1e-14)
+        from testutil import rand_unit
+        m = rand_unit(2, 3)
+        assert_allclose(pauli.expand(m, hermitian=False, tidyup=True),
+                        ggm.expand(m, hermitian=False, tidyup=True),
+                        atol=1e-14)
+
+    @pytest.mark.parametrize('d', [2, 5, 9])
+    def test_unnormalized_basis_expansion(self, d):
+        """expand(normalized=False) reconstructs through an
+        unnormalized basis (reference tests/test_basis.py:238-258)."""
+        ggm_basis = Basis.ggm(d)
+        scales = rng.standard_normal(d * d)
+        scales[scales == 0] = 1.0
+        basis = Basis(np.einsum('i,ijk->ijk', scales, np.asarray(ggm_basis)))
+        m = rng.standard_normal((d, d)) + 1j * rng.standard_normal((d, d))
+        m -= np.trace(m) / d * np.eye(d)
+        coeffs = expand(m, basis, normalized=False)
+        assert_allclose(np.einsum('i,ijk', coeffs, np.asarray(basis)), m,
+                        atol=1e-12)
+        assert_allclose(expand(m, ggm_basis), ggm_expand(m), atol=1e-14)
+        assert_allclose(ggm_expand(m), ggm_expand(m, traceless=True),
+                        atol=1e-14)
+        # batched
+        mb = rng.standard_normal((7, d, d)) + 1j * rng.standard_normal(
+            (7, d, d))
+        coeffs = expand(mb, basis, normalized=False)
+        assert_allclose(np.einsum('li,ijk->ljk', coeffs,
+                                  np.asarray(basis)), mb, atol=1e-12)
+        with pytest.raises(ValueError):
+            ggm_expand(np.asarray(basis)[..., 0])
+        # normalize: function vs method, copy semantics
+        from filter_functions_tpu.basis import normalize
+        assert normalize(basis).isorthonorm
+        normalized = normalize(basis)
+        basis.normalize()
+        assert normalized == basis
+
     def test_ff_invariant_under_basis_choice(self):
         """Fidelity filter function must not depend on the basis."""
         arrays = rand_pulse_arrays(4, 3)
