@@ -31,7 +31,8 @@ from .. import functional, numeric, util
 from ..cplx import C
 
 __all__ = ['make_mesh', 'shard_omega', 'sharded_filter_function',
-           'sharded_infidelity', 'grape_step', 'make_grape_step']
+           'sharded_infidelity', 'sharded_error_transfer_matrix',
+           'grape_step', 'make_grape_step']
 
 
 def make_mesh(n_devices: Optional[int] = None,
@@ -91,6 +92,29 @@ def sharded_infidelity(p: functional.PulseArrays, spectrum, omega,
     omega = shard_omega(omega, mesh)
     spectrum = shard_omega(spectrum, mesh)
     return _infid_jit(p, spectrum, omega)
+
+
+def sharded_error_transfer_matrix(p: functional.PulseArrays, spectrum,
+                                  omega, basis, mesh: Mesh,
+                                  second_order: bool = False
+                                  ) -> jnp.ndarray:
+    """Batched error transfer matrices with the pulse batch sharded
+    over the mesh's 'batch' axis (operators/spectrum/frequencies
+    replicated; each device runs its share of the fused per-pulse
+    pipeline independently -- no collectives).
+
+    p carries a leading batch axis on c_coeffs / n_coeffs / dt that
+    must divide the mesh's batch-axis size."""
+    def put_batch(a):
+        spec = P('batch', *([None] * (a.ndim - 1)))
+        return jax.device_put(jnp.asarray(a), NamedSharding(mesh, spec))
+
+    p = functional.PulseArrays(
+        _replicate(p.c_opers, mesh), put_batch(p.c_coeffs),
+        _replicate(p.n_opers, mesh), put_batch(p.n_coeffs),
+        put_batch(p.dt), _replicate(p.basis, mesh))
+    return functional.batched_error_transfer_matrix(
+        p, spectrum, omega, basis, second_order=second_order)
 
 
 # -----------------------------------------------------------------------------

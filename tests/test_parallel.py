@@ -93,6 +93,24 @@ def test_sharded_infidelity(mesh8):
     assert_allclose(got, want, rtol=1e-12)
 
 
+def test_sharded_error_transfer_matrix(mesh2x4):
+    """Batch-sharded ETM equals the single-device batched result."""
+    pulse = rand_pulse_sequence(2, 3, 2, 2)
+    omega = np.geomspace(0.1, 10, 16)
+    spectrum = 1e-3 / omega
+    p = functional.make_pulse_arrays(pulse)
+    scales = np.array([1.0, 1.05])
+    pb = functional.PulseArrays(
+        p.c_opers, jnp.asarray(scales[:, None, None] * p.c_coeffs),
+        p.n_opers, jnp.broadcast_to(p.n_coeffs, (2,) + p.n_coeffs.shape),
+        jnp.broadcast_to(p.dt, (2,) + p.dt.shape), p.basis)
+    local = np.asarray(functional.batched_error_transfer_matrix(
+        pb, spectrum, omega, pulse.basis, second_order=True))
+    sharded = parallel.sharded_error_transfer_matrix(
+        pb, spectrum, omega, pulse.basis, mesh2x4, second_order=True)
+    assert_allclose(np.asarray(sharded), local, atol=1e-13)
+
+
 def test_batched_infidelity():
     pulse = rand_pulse_sequence(2, 4)
     omega = jnp.linspace(0.5, 10, 16)
