@@ -83,6 +83,16 @@ def _total_phases_jit(omega, tau):
 
 
 @jax.jit
+def _propagator_at_t_jit(propagators: C, eigvals, eigvecs: C, idx,
+                         t_seg, t) -> C:
+    q_prev = propagators[idx]
+    phases = cexp((t_seg - t)[:, None] * eigvals[idx])
+    u_curr = util.ceinsum('lij,lj,lkj->lik', eigvecs[idx], phases,
+                          eigvecs[idx].conj())
+    return u_curr @ q_prev
+
+
+@jax.jit
 def _trace_basis_axes(ff_gen: C) -> C:
     """Generalized -> fidelity reduction tr over the basis axes; jitted
     (eager per-op dispatch is ~40-60 ms on the tunneled TPU)."""
@@ -730,14 +740,10 @@ class PulseSequence:
         t = np.asarray(t)
         idx = np.searchsorted(self.t, t) - 1
         idx = np.clip(idx, 0, len(self.dt) - 1)
-        q_prev = self.propagators[jnp.asarray(idx)]
-        eigvals = self.eigvals[jnp.asarray(idx)]
-        eigvecs = self.eigvecs[jnp.asarray(idx)]
-        phases = cexp((jnp.asarray(self.t[idx]) - jnp.asarray(t))[:, None]
-                      * eigvals)
-        u_curr = util.ceinsum('lij,lj,lkj->lik', eigvecs, phases,
-                              eigvecs.conj())
-        return u_curr @ q_prev
+        return _propagator_at_t_jit(self.propagators, self.eigvals,
+                                    self.eigvecs, jnp.asarray(idx),
+                                    jnp.asarray(self.t[idx]),
+                                    jnp.asarray(t))
 
 
 # Re-exported sequencing API (defined in .sequencing to keep modules
