@@ -409,6 +409,99 @@ class TestHamiltonianMerging:
         assert c == p and c is not p
 
 
+class TestRemapCachingAndAccuracy:
+    """Cache retention under remap and 3-qubit accuracy with identifier
+    mapping (cf. reference test_sequencing.py:1342-1447)."""
+
+    ATTRS = ('omega', 'eigvals', 'eigvecs', 'propagators', 'total_phases',
+             'total_propagator', 'filter function',
+             'total_propagator_liouville', 'control_matrix')
+
+    def test_cache_retention(self):
+        from filter_functions_tpu import util
+        pauli = rand_pulse_sequence(4, 1, 1, 4, 'Pauli')
+        ggm = rand_pulse_sequence(4, 1, 1, 4, 'GGM')
+
+        # nothing cached on either side
+        remapped = ff.remap(pauli, (1, 0))
+        for attr in self.ATTRS:
+            assert pauli.is_cached(attr) == remapped.is_cached(attr)
+
+        omega = util.get_sample_frequencies(pauli, n_samples=30)
+        pauli.cache_filter_function(omega)
+        remapped = ff.remap(pauli, (1, 0))
+        for attr in self.ATTRS:
+            assert pauli.is_cached(attr) == remapped.is_cached(attr), attr
+
+        # GGM basis: frequency-domain caches dropped with a warning
+        omega = util.get_sample_frequencies(ggm, n_samples=30)
+        ggm.cache_filter_function(omega)
+        with pytest.warns(UserWarning):
+            remapped = ff.remap(ggm, (1, 0))
+        for attr in self.ATTRS[:-2]:
+            assert ggm.is_cached(attr) == remapped.is_cached(attr), attr
+        for attr in self.ATTRS[-2:]:
+            assert not remapped.is_cached(attr), attr
+
+    @pytest.mark.parametrize('order', [(1, 0, 2), (2, 0, 1), (1, 2, 0)])
+    def test_three_qubit_accuracy(self, order):
+        from filter_functions_tpu import util
+        paulis = np.array(util.paulis)
+        I, X, Y, Z = paulis
+        local = np.random.default_rng(17)
+        amps = local.standard_normal(3)
+        pulse = ff.PulseSequence(
+            [[util.tensor(X, Y, Z), amps]],
+            [[util.tensor(X, I, I), np.ones_like(amps), 'XII'],
+             [util.tensor(I, X, I), np.ones_like(amps), 'IXI'],
+             [util.tensor(I, I, X), np.ones_like(amps), 'IIX']],
+            np.ones_like(amps), ff.Basis.pauli(3))
+        omega = util.get_sample_frequencies(pulse, 30)
+        pulse.cache_filter_function(omega)
+
+        order = list(order)
+        reordered = ff.PulseSequence(
+            [[util.tensor(*paulis[1:][order]), amps]],
+            [[util.tensor(*paulis[[1, 0, 0]][order]), np.ones_like(amps),
+              ''.join('XII'[o] for o in order)],
+             [util.tensor(*paulis[[0, 1, 0]][order]), np.ones_like(amps),
+              ''.join('IXI'[o] for o in order)],
+             [util.tensor(*paulis[[0, 0, 1]][order]), np.ones_like(amps),
+              ''.join('IIX'[o] for o in order)]],
+            np.ones_like(amps), ff.Basis.pauli(3))
+        reordered.cache_filter_function(omega)
+
+        remapped = ff.remap(
+            pulse, order,
+            oper_identifier_mapping={
+                'A_0': 'A_0',
+                'XII': ''.join('XII'[o] for o in order),
+                'IXI': ''.join('IXI'[o] for o in order),
+                'IIX': ''.join('IIX'[o] for o in order)})
+
+        assert reordered == remapped
+        assert reordered.d == remapped.d
+        assert reordered.basis == remapped.basis
+        assert_allclose(np.asarray(reordered.omega),
+                        np.asarray(remapped.omega))
+        assert_allclose(to_np(remapped.propagators),
+                        to_np(reordered.propagators), atol=1e-13)
+        assert_allclose(to_np(remapped.total_propagator),
+                        to_np(reordered.total_propagator), atol=1e-13)
+        assert_allclose(np.asarray(remapped.total_propagator_liouville),
+                        np.asarray(reordered.total_propagator_liouville),
+                        atol=1e-13)
+        assert_allclose(to_np(remapped.get_total_phases(omega)),
+                        to_np(reordered.get_total_phases(omega)),
+                        atol=1e-13)
+        assert_allclose(to_np(remapped.get_control_matrix(omega)),
+                        to_np(reordered.get_control_matrix(omega)),
+                        atol=1e-11)
+        assert_allclose(to_np(remapped.get_filter_function(omega)),
+                        to_np(reordered.get_filter_function(omega)),
+                        atol=1e-11)
+
+
 class TestExtendWithIdentity:
     """Extending a 1-qubit pulse into an N-qubit register equals the
     explicitly built big-register pulse, with caches carried over
