@@ -199,7 +199,7 @@ def config_qft(iters=5):
 # -----------------------------------------------------------------------------
 # hadamard: README Y2 @ X single-qubit dephasing + 1/f infidelity
 # -----------------------------------------------------------------------------
-def config_hadamard(iters=5, batch=64, n_omega=400):
+def config_hadamard(iters=5, batch=256, n_omega=400):
     import jax
     import jax.numpy as jnp
     from math import pi
@@ -273,7 +273,7 @@ def config_hadamard(iters=5, batch=64, n_omega=400):
 # -----------------------------------------------------------------------------
 # dd: CPMG / UDD trains, parity with analytic closed forms
 # -----------------------------------------------------------------------------
-def config_dd(iters=5, batch=32, n=16, n_omega=400):
+def config_dd(iters=5, batch=128, n=16, n_omega=400):
     import jax
     import jax.numpy as jnp
     from filter_functions_tpu import analytic, functional
@@ -584,7 +584,7 @@ def config_concat_train(iters=3, n_pulses=10000, n_omega=400):
 # -----------------------------------------------------------------------------
 # grad: batched analytic infidelity derivatives
 # -----------------------------------------------------------------------------
-def config_grad(iters=3, batch=16, n_omega=200):
+def config_grad(iters=3, batch=64, n_omega=200):
     import jax
     import jax.numpy as jnp
     from filter_functions_tpu import functional, util
