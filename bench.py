@@ -683,7 +683,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--cpu', action='store_true')
     parser.add_argument('--quick', action='store_true')
-    parser.add_argument('--iters', type=int, default=5)
+    parser.add_argument('--iters', type=int, default=None,
+                        help='timing iterations (default: per-config)')
     parser.add_argument('--config', choices=sorted(CONFIGS), default=None)
     parser.add_argument('--all', action='store_true')
     parser.add_argument('--record-baseline', action='store_true',
@@ -712,7 +713,10 @@ def main():
 
     results = {}
     for name in names:
-        results[name] = CONFIGS[name]()
+        kwargs = {}
+        if args.iters is not None:
+            kwargs['iters'] = args.iters
+        results[name] = CONFIGS[name](**kwargs)
         print(json.dumps(results[name]), flush=True)
 
     if args.record_baseline:

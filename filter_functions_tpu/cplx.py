@@ -586,9 +586,12 @@ def expm_real(a: jnp.ndarray) -> jnp.ndarray:
     jittable on TPU.  The scaled 1-norm is kept <= 1 where the k = 22
     truncation has remainder < 1/23! ~ 4e-23; each subsequent squaring
     doubles the accumulated rounding, so minimizing the squaring count
-    (rather than the series length) sets the achievable accuracy
-    (~2^s ulp; exact to ~1 ulp for the small-norm cumulant functions
-    this is used on).
+    (rather than the series length) sets the achievable accuracy:
+    ~2^ceil(log2 ||A||) ulp.  Exact to ~1 ulp for the small-norm
+    cumulant functions this is used on; for ||A|| >> 2^40 all relative
+    accuracy is lost (as for any f64 scaling-and-squaring -- at such
+    norms the *input's* own ulp exceeds the 2 pi phase period), but the
+    result stays finite rather than overflowing.
     """
     a = jnp.asarray(a)
     # scale by 2^-s so ||A/2^s||_1 <= 1
@@ -596,8 +599,11 @@ def expm_real(a: jnp.ndarray) -> jnp.ndarray:
     s = jnp.maximum(
         0, jnp.ceil(jnp.log2(jnp.maximum(norm, 1e-300)))
     ).astype(jnp.int32)
-    # cap squarings: norms beyond 2^64 overflow anyway
-    s = jnp.minimum(s, 64)
+    # cap only at the f64 exponent range: huge-norm matrices with
+    # bounded exponentials (e.g. skew-symmetric rotations) must still
+    # scale below 1 or the Taylor series diverges.  The while_loop runs
+    # s times, so large norms only cost extra squarings.
+    s = jnp.minimum(s, 1100)
     a_scaled = a * jnp.exp2(-s.astype(a.dtype))[..., None, None]
 
     eye = jnp.broadcast_to(jnp.eye(a.shape[-1], dtype=a.dtype), a.shape)

@@ -25,7 +25,7 @@ from .cplx import C, asc, ceinsum, cexp
 
 __all__ = ['PulseArrays', 'make_pulse_arrays', 'control_matrix',
            'fidelity_filter_function', 'infidelity', 'batched_infidelity',
-           'error_transfer_matrix']
+           'error_transfer_matrix', 'batched_error_transfer_matrix']
 
 
 class PulseArrays(NamedTuple):

@@ -814,29 +814,55 @@ def calculate_second_order_filter_function_from_atomic(
     # cross term G*_(g) B_(g-1): outer product over basis indices
     result = result + ceinsum('gako,gblo->abklo',
                               ctrl_step[1:G].conj(), ctrl_cumul[:G - 1])
-    # transformed complete steps Q^T N Q
     ql = props_liouville if isinstance(props_liouville, C) \
         else jnp.asarray(props_liouville)                 # (G-1, d^2, d^2)
-    complete = cstack([asc(intermediates[g]['second_order_complete_steps'])
-                       for g in range(1, G)])
-    result = result + ceinsum('gpk,gabpqo,gql->abklo', ql, complete, ql)
 
-    # Incomplete steps: the g- and within-pulse segment sums flatten
-    # into ONE concatenated segment axis (per-pulse segment counts may
-    # be ragged, so concatenate rather than stack).
-    evs = [asc(intermediates[g]['eigvecs_propagated']) for g in range(1, G)]
-    h_counts = [ev.shape[0] for ev in evs]
-    rep_idx = jnp.asarray(np.repeat(np.arange(G - 1), h_counts))
-    props_rep = props._map(lambda x: x[rep_idx])          # (H, d, d)
-    eigvecs_propagated = _propagate_eigenvectors(props_rep, cconcat(evs))
-    n_t = cconcat([asc(intermediates[g]['n_opers_transformed'])
-                   for g in range(1, G)], axis=1)         # (a, H, i, j)
-    int2 = cconcat([asc(intermediates[g]['second_order_integral'])
-                    for g in range(1, G)])                # (H, o, ...)
-    b_t = ceinsum('hba,kbc,hcd->hkad', eigvecs_propagated.conj(),
-                  basis_dev, eigvecs_propagated)
-    nob = ceinsum('ahij,hkji->hakij', n_t, b_t)
-    return result + ceinsum('hoijmn,hakij,hblmn->abklo', int2, nob, nob)
+    # Chunk over pulses so the concatenated second_order_integral stack
+    # (n_segments x n_w x d^4) and the complete-steps stack stay within
+    # a memory budget: batched-but-bounded, unlike a per-pulse Python
+    # loop (O(G) dispatches) or one monolithic stack (OOM for long
+    # second-order trains).
+    budget = 1 << 30
+    int2_bytes = [np.prod(np.shape(
+        asc(intermediates[g]['second_order_integral']).re)) * 16
+        for g in range(1, G)]
+    groups, current, used = [], [], 0
+    for g, nbytes in zip(range(1, G), int2_bytes):
+        if current and used + nbytes > budget:
+            groups.append(current)
+            current, used = [], 0
+        current.append(g)
+        used += nbytes
+    groups.append(current)
+
+    for group in groups:
+        # transformed complete steps Q^T N Q
+        complete = cstack(
+            [asc(intermediates[g]['second_order_complete_steps'])
+             for g in group])
+        ql_g = ql[jnp.asarray(group) - 1]
+        result = result + ceinsum('gpk,gabpqo,gql->abklo', ql_g,
+                                  complete, ql_g)
+
+        # Incomplete steps: the g- and within-pulse segment sums flatten
+        # into ONE concatenated segment axis (per-pulse segment counts
+        # may be ragged, so concatenate rather than stack).
+        evs = [asc(intermediates[g]['eigvecs_propagated']) for g in group]
+        h_counts = [ev.shape[0] for ev in evs]
+        rep_idx = jnp.asarray(np.repeat(np.asarray(group), h_counts))
+        props_rep = props._map(lambda x: x[rep_idx - 1])  # (H, d, d)
+        eigvecs_propagated = _propagate_eigenvectors(props_rep,
+                                                     cconcat(evs))
+        n_t = cconcat([asc(intermediates[g]['n_opers_transformed'])
+                       for g in group], axis=1)           # (a, H, i, j)
+        int2 = cconcat([asc(intermediates[g]['second_order_integral'])
+                        for g in group])                  # (H, o, ...)
+        b_t = ceinsum('hba,kbc,hcd->hkad', eigvecs_propagated.conj(),
+                      basis_dev, eigvecs_propagated)
+        nob = ceinsum('ahij,hkji->hakij', n_t, b_t)
+        result = result + ceinsum('hoijmn,hakij,hblmn->abklo', int2, nob,
+                                  nob)
+    return result
 
 
 # -----------------------------------------------------------------------------

@@ -24,7 +24,7 @@ import numpy as np
 from . import numeric, util
 from .basis import (Basis, equivalent_pauli_basis_elements,
                     remap_pauli_basis_elements)
-from .cplx import C, asc, matrix_power
+from .cplx import C, asc, cexp, matrix_power
 from .pulse_sequence import PulseSequence, _parse_hamiltonian
 from .superoperator import liouville_representation
 from .types import Coefficients, Hamiltonian, PulseMapping
@@ -400,8 +400,7 @@ def concatenate(pulses: Iterable[PulseSequence],
 @jax.jit
 def _boundary_phases(omega: jnp.ndarray, t_bound: jnp.ndarray) -> C:
     """e^{i omega t_g} for all pulse boundaries, fused in one kernel."""
-    x = t_bound[:, None] * omega[None, :]
-    return C(jnp.cos(x), jnp.sin(x))
+    return cexp(t_bound[:, None] * omega[None, :])
 
 
 def _stack_c(items: Sequence) -> C:
