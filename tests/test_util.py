@@ -71,6 +71,67 @@ class TestTensor:
             util.tensor_insert(util.tensor(X, I), Y, pos=5,
                                arr_dims=[[2, 2], [2, 2]])
 
+    def test_tensor_insert_reference_behaviors(self):
+        """Negative/multi positions, rank 1/3 broadcasting, error
+        messages (cf. reference tests/test_util.py:147-263)."""
+        local = np.random.default_rng(3)
+        I, X, Y, Z = util.paulis
+        arr = util.tensor(X, I)
+        r = util.tensor_insert(arr, Y, Z, arr_dims=[[2, 2], [2, 2]],
+                               pos=-1)
+        assert_allclose(r, util.tensor(X, Y, Z, I), atol=1e-15)
+        with pytest.raises(IndexError, match='between -2 and 2'):
+            util.tensor_insert(arr, Y, Z, arr_dims=[[2, 2], [2, 2]],
+                               pos=3)
+        # rank 1 with broadcasting
+        A = local.standard_normal((2, 3, 1, 2))
+        B = local.standard_normal((2, 3, 1, 2))
+        C_ = local.standard_normal((3, 1, 3))
+        ar = util.tensor(A, C_, rank=1)
+        r = util.tensor_insert(ar, B, pos=1, rank=1, arr_dims=[[2, 3]])
+        assert_allclose(r, util.tensor(A, B, C_, rank=1), atol=1e-13)
+        with pytest.raises(ValueError, match='length rank'):
+            util.tensor_insert(ar, B, pos=1, rank=1,
+                               arr_dims=[[3, 3], [1, 2], [2, 1]])
+        # rank 3
+        A = local.standard_normal((2, 3, 1, 2))
+        B = local.standard_normal((2, 3, 2, 2))
+        C_ = local.standard_normal((3, 2, 1))
+        ar = util.tensor(A, C_, rank=3)
+        r = util.tensor_insert(ar, B, pos=1, rank=3,
+                               arr_dims=[[3, 3], [1, 2], [2, 1]])
+        assert_allclose(r, util.tensor(A, B, C_, rank=3), atol=1e-13)
+        # multiple positions including duplicates
+        arrs = local.standard_normal((2, 2, 2))
+        args = local.standard_normal((2, 2, 2))
+        dims = [[2, 2], [2, 2]]
+        r = util.tensor_insert(util.tensor(*arrs), *args, pos=(0, 0),
+                               arr_dims=dims)
+        assert_allclose(r, util.tensor(*args, *arrs), atol=1e-13)
+        r = util.tensor_insert(util.tensor(*arrs), *args, pos=(1, 2),
+                               arr_dims=dims)
+        assert_allclose(r, util.tensor(*np.insert(arrs, (1, 2), args,
+                                                  axis=0)), atol=1e-13)
+        with pytest.raises(ValueError):
+            util.tensor_insert(util.tensor(*arrs), *args, pos=(0, 1, 2),
+                               arr_dims=dims)
+        # randomized round trips across ranks / broadcast shapes
+        for rank, n_args, n_b in zip(local.integers(1, 4, 6),
+                                     local.integers(3, 6, 6),
+                                     local.integers(1, 8, 6)):
+            stack = local.standard_normal((n_args, n_b, *[2] * rank))
+            split = int(local.integers(1, n_args - 1))
+            ins_idx = int(local.integers(split - n_args, n_args - split))
+            base = util.tensor(*stack[split:], rank=rank)
+            want = util.tensor(*np.insert(stack[split:], ins_idx,
+                                          stack[:split], axis=0),
+                               rank=rank)
+            got = util.tensor_insert(base, *stack[:split], pos=ins_idx,
+                                     rank=rank,
+                                     arr_dims=[[2] * (n_args - split)]
+                                     * rank)
+            assert_allclose(got, want, atol=1e-10)
+
     def test_tensor_merge(self):
         I, X, Y, Z = util.paulis
         r = util.tensor_merge(util.tensor(X, Y, Z), util.tensor(I, I),
