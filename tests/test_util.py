@@ -147,6 +147,74 @@ class TestTensor:
         with pytest.raises(ValueError):
             util.tensor_transpose(util.tensor(X, Y), [0, 0], [[2, 2]] * 2)
 
+    def test_tensor_merge_reference_behaviors(self):
+        """Merge==insert equivalence, negative positions, rank-1
+        broadcasting, error paths, randomized round trips
+        (cf. reference tests/test_util.py:263-371)."""
+        local = np.random.default_rng(9)
+        I, X, Y, Z = util.paulis
+        arr = util.tensor(X, Y, Z)
+        ins = util.tensor(I, I)
+        r1 = util.tensor_merge(arr, ins, pos=[1, 2],
+                               arr_dims=[[2] * 3] * 2,
+                               ins_dims=[[2] * 2] * 2)
+        r2 = util.tensor_merge(ins, arr, pos=[0, 1, 2],
+                               arr_dims=[[2] * 2] * 2,
+                               ins_dims=[[2] * 3] * 2)
+        assert_allclose(r1, util.tensor(X, I, Y, I, Z), atol=1e-15)
+        assert_allclose(r1, r2, atol=1e-15)
+
+        arr = util.tensor(Y, Z)
+        ins = util.tensor(I, X)
+        r1 = util.tensor_merge(arr, ins, pos=[0, 0],
+                               arr_dims=[[2] * 2] * 2,
+                               ins_dims=[[2] * 2] * 2)
+        r2 = util.tensor_insert(arr, I, X, pos=[0, 0],
+                                arr_dims=[[2] * 2] * 2)
+        assert_allclose(r1, r2, atol=1e-15)
+        r = util.tensor_merge(arr, ins, arr_dims=[[2, 2]] * 2,
+                              ins_dims=[[2, 2]] * 2, pos=(-1, -2))
+        assert_allclose(r, util.tensor(X, Y, I, Z), atol=1e-15)
+
+        with pytest.raises(ValueError):
+            util.tensor_merge(arr, ins, pos=(1, 2),
+                              arr_dims=[[2, 2]] * 3,
+                              ins_dims=[[2, 2]] * 2)
+        with pytest.raises(IndexError):
+            util.tensor_merge(arr, ins, pos=(1, 3),
+                              arr_dims=[[2, 2]] * 2,
+                              ins_dims=[[2, 2]] * 2)
+        with pytest.raises(ValueError):
+            util.tensor_merge(arr, ins, pos=(1, 2),
+                              arr_dims=[[2, 3], [2, 2]],
+                              ins_dims=[[2, 2]] * 2)
+
+        a = local.standard_normal((2, 10, 3, 4))
+        b = local.standard_normal((2, 10, 3, 2))
+        r = util.tensor_merge(util.tensor(*a, rank=1),
+                              util.tensor(*b, rank=1), pos=[0, 1],
+                              arr_dims=[[4, 4]], ins_dims=[[2, 2]],
+                              rank=1)
+        assert_allclose(r, util.tensor(b[0], a[0], b[1], a[1], rank=1),
+                        atol=1e-13)
+
+        for rank, n_args, n_b in zip(local.integers(1, 4, 6),
+                                     local.integers(3, 6, 6),
+                                     local.integers(1, 8, 6)):
+            stack = local.standard_normal((n_args, n_b, *[2] * rank))
+            split = int(local.integers(1, n_args - 1))
+            base = util.tensor(*stack[split:], rank=rank)
+            insr = util.tensor(*stack[:split], rank=rank)
+            pos = local.integers(0, split, split)
+            want = util.tensor(*np.insert(stack[split:], pos,
+                                          stack[:split], axis=0),
+                               rank=rank)
+            got = util.tensor_merge(
+                base, insr, pos=pos, rank=rank,
+                arr_dims=[[2] * (n_args - split)] * rank,
+                ins_dims=[[2] * split] * rank)
+            assert_allclose(got, want, atol=1e-10)
+
     def test_tensor_on_C(self):
         a = rng.standard_normal((2, 2)) + 1j * rng.standard_normal((2, 2))
         b = rng.standard_normal((3, 3)) + 1j * rng.standard_normal((3, 3))
