@@ -257,3 +257,45 @@ class TestOzaki:
             else:
                 os.environ['FF_TPU_CONTRACT'] = old
         np.testing.assert_allclose(oz, native, atol=1e-12)
+
+
+class TestExpmReal:
+    """Taylor scaling-and-squaring matrix exponential vs scipy
+    (jax.scipy's Pade form needs an f64 LU the TPU compiler lacks)."""
+
+    @pytest.mark.parametrize('scale', [1e-8, 1e-3, 1.0, 10.0])
+    @pytest.mark.parametrize('n', [4, 16, 64])
+    def test_against_scipy(self, scale, n):
+        from scipy import linalg as sla
+        local = np.random.default_rng(int(scale * 1e9) % 2**31 + n)
+        a = local.standard_normal((n, n)) * scale
+        got = np.asarray(cplx.expm_real(a))
+        want = sla.expm(a)
+        rel = np.abs(got - want).max() / max(np.abs(want).max(), 1)
+        assert rel < 1e-12
+
+    def test_zero_identity_batch_jit(self):
+        from scipy import linalg as sla
+        import jax
+        assert_allclose(np.asarray(cplx.expm_real(np.zeros((3, 3)))),
+                        np.eye(3), atol=0)
+        local = np.random.default_rng(4)
+        b = local.standard_normal((5, 8, 8))
+        got = np.asarray(cplx.expm_real(b))
+        want = np.stack([sla.expm(x) for x in b])
+        assert_allclose(got, want, atol=1e-12)
+        a = local.standard_normal((16, 16))
+        assert_allclose(np.asarray(jax.jit(cplx.expm_real)(a)),
+                        sla.expm(a), atol=1e-12)
+
+    def test_huge_norm_stays_finite(self):
+        """Skew-symmetric with astronomic norm: phase is unrecoverable
+        in f64 (the input ulp exceeds 2 pi) but the result must not
+        overflow to inf/nan."""
+        a = np.array([[0.0, 1e21], [-1e21, 0.0]])
+        got = np.asarray(cplx.expm_real(a))
+        assert np.isfinite(got).all()
+        # moderate norms keep structure: rotations stay orthogonal
+        a = np.array([[0.0, 1e6], [-1e6, 0.0]])
+        got = np.asarray(cplx.expm_real(a))
+        assert np.abs(got @ got.T - np.eye(2)).max() < 1e-8
