@@ -322,6 +322,59 @@ class TestNoiseOperators:
         assert_allclose(got, full, atol=1e-12)
 
 
+class TestAtomicRepresentationDuality:
+    """Hilbert-space (K7) and Liouville (K5) atomic composition agree
+    through the basis expansion (reference test_precision.py:313-355)."""
+
+    @pytest.mark.parametrize('d', [2, 3])
+    def test_from_atomic_cross_representation(self, d):
+        from filter_functions_tpu.sequencing import _stack_c, _cumprod_c
+        from filter_functions_tpu.superoperator import \
+            liouville_representation
+        base = rand_pulse_arrays(d, 2)
+        omega = np.linspace(0.5, 5, 9)
+        pulses = []
+        for _ in range(3):
+            arr = rand_pulse_arrays(d, 2)
+            pulses.append(make_pulse((arr[0], arr[1], arr[2], base[3],
+                                      base[4], base[5], arr[6])))
+        for p in pulses:
+            p.diagonalize()
+        nops_atomic = _stack_c(
+            [numeric.calculate_noise_operators_from_scratch(
+                p.eigvals, p.eigvecs, p.propagators, omega,
+                p.n_opers_dev, p.n_coeffs, p.dt) for p in pulses])
+        ctrl_atomic = _stack_c(
+            [numeric.calculate_control_matrix_from_scratch(
+                p.eigvals, p.eigvecs, p.propagators, omega, p.basis,
+                p.n_opers_dev, p.n_coeffs, p.dt) for p in pulses])
+        # atomic-level duality: nops (G, n_w, n_nops, d, d) expands to
+        # (G, n_w, n_nops, d^2); ctrl is (G, n_nops, d^2, n_w)
+        got = expand(nops_atomic, pulses[0].basis).to_numpy()
+        assert_allclose(got.transpose(0, 2, 3, 1),
+                        to_np(ctrl_atomic), atol=1e-12)
+
+        phases = _cumprod_c([p.get_total_phases(omega)
+                             for p in pulses[:-1]])
+        # cumulative boundary propagators Q_{g-1} = U_{g-1} ... U_0
+        cums, acc = [], None
+        for p in pulses[:-1]:
+            u = to_np(p.total_propagator)
+            acc = u if acc is None else u @ acc
+            cums.append(acc)
+        boundary = _stack_c([asc(c) for c in cums])
+        props_liouville = np.stack(
+            [np.asarray(liouville_representation(asc(c), pulses[0].basis))
+             for c in cums])
+        b_total = numeric.calculate_noise_operators_from_atomic(
+            phases, nops_atomic, boundary)
+        r_total = numeric.calculate_control_matrix_from_atomic(
+            phases, ctrl_atomic, props_liouville)
+        got = expand(b_total, pulses[0].basis).to_numpy()
+        assert_allclose(got.transpose(1, 2, 0), to_np(r_total),
+                        atol=1e-12)
+
+
 class TestInfidelityModes:
     def test_convergence_mode(self):
         p = rand_pulse_sequence(2, 3)
