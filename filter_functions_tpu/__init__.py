@@ -14,7 +14,8 @@ A from-scratch rebuild of the capabilities of qutech/filter_functions
   :mod:`.parallel`.
 """
 from . import (analytic, basis, config, cplx, functional, gradient, models,
-               numeric, parallel, pulse_sequence, superoperator, types, util)
+               numeric, parallel, pulse_sequence, spectroscopy,
+               superoperator, types, util)
 from .basis import Basis
 from .gradient import infidelity_derivative
 from .numeric import error_transfer_matrix, infidelity
@@ -29,6 +30,6 @@ __all__ = ['Basis', 'PulseSequence', 'concatenate', 'concatenate_periodic',
            'liouville_representation', 'remap', 'infidelity_derivative',
            'analytic', 'basis', 'config', 'cplx', 'functional', 'gradient',
            'models', 'numeric', 'parallel', 'pulse_sequence',
-           'superoperator', 'types', 'util']
+           'spectroscopy', 'superoperator', 'types', 'util']
 
 __version__ = '0.1.0'
