@@ -252,11 +252,25 @@ def _ozaki_matmul_c_impl(a_re, a_im, b_re, b_im,
 
     ar_sl, ar_sc = sl_a(a_re)
     ai_sl, ai_sc = sl_a(a_im)
-    as_sl, as_sc = sl_a(a_re + a_im)
     br_sl, br_sc = sl_b(b_re)
     bi_sl, bi_sc = sl_b(b_im)
-    bs_sl, bs_sc = sl_b(b_re + b_im)
 
+    if os.environ.get('FF_TPU_OZAKI_CMUL', '3') == '4':
+        # 4-multiplication form: one fewer slicing of each operand
+        # (the f64-elementwise-bound step) at the cost of one more
+        # bf16 matmul set (the cheap MXU step).
+        p_rr = _matmul_from_slices(ar_sl, br_sl, slice_bits, ndim) \
+            * (ar_sc * br_sc)
+        p_ii = _matmul_from_slices(ai_sl, bi_sl, slice_bits, ndim) \
+            * (ai_sc * bi_sc)
+        p_ri = _matmul_from_slices(ar_sl, bi_sl, slice_bits, ndim) \
+            * (ar_sc * bi_sc)
+        p_ir = _matmul_from_slices(ai_sl, br_sl, slice_bits, ndim) \
+            * (ai_sc * br_sc)
+        return p_rr - p_ii, p_ri + p_ir
+
+    as_sl, as_sc = sl_a(a_re + a_im)
+    bs_sl, bs_sc = sl_b(b_re + b_im)
     p1 = _matmul_from_slices(ar_sl, br_sl, slice_bits, ndim) \
         * (ar_sc * br_sc)
     p2 = _matmul_from_slices(ai_sl, bi_sl, slice_bits, ndim) \

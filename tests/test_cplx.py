@@ -299,3 +299,30 @@ class TestExpmReal:
         a = np.array([[0.0, 1e6], [-1e6, 0.0]])
         got = np.asarray(cplx.expm_real(a))
         assert np.abs(got @ got.T - np.eye(2)).max() < 1e-8
+
+
+def test_ozaki_cmul_variants_agree(monkeypatch):
+    """The 4-multiplication complex Ozaki form (FF_TPU_OZAKI_CMUL=4;
+    one fewer slicing, one more matmul set -- measured slower on the
+    flagship, kept as a documented experiment) matches Gauss-3."""
+    import os
+    from filter_functions_tpu.ops.ozaki import ozaki_matmul_c
+    local = np.random.default_rng(8)
+    # NOTE: the env var is read at trace time, so the variant call must
+    # use shapes not yet in the jit cache.
+    a = local.standard_normal((96, 64)) + 1j * local.standard_normal((96, 64))
+    b = local.standard_normal((64, 48)) + 1j * local.standard_normal((64, 48))
+    g_re, g_im = ozaki_matmul_c(a.real, a.imag, b.real, b.imag)
+    want = a @ b
+    scale = np.abs(np.abs(a) @ np.abs(b)).max()
+    assert np.abs(np.asarray(g_re) + 1j*np.asarray(g_im) - want).max() \
+        < 2**-28 * scale
+
+    monkeypatch.setenv('FF_TPU_OZAKI_CMUL', '4')
+    a = local.standard_normal((80, 56)) + 1j * local.standard_normal((80, 56))
+    b = local.standard_normal((56, 40)) + 1j * local.standard_normal((56, 40))
+    f_re, f_im = ozaki_matmul_c(a.real, a.imag, b.real, b.imag)
+    want = a @ b
+    scale = np.abs(np.abs(a) @ np.abs(b)).max()
+    assert np.abs(np.asarray(f_re) + 1j*np.asarray(f_im) - want).max() \
+        < 2**-28 * scale
