@@ -147,31 +147,41 @@ def _second_order_integral_single(omega: jnp.ndarray, eigvals: jnp.ndarray,
 
     Returns C of shape (n_omega, d, d, d, d) indexed (o, i, j, m, n).
     """
+    d = eigvals.shape[0]
+    d2 = d * d
+    n_w = omega.shape[0]
     dE = eigvals[:, None] - eigvals[None, :]            # Omega_ij (d, d)
-    x = dE[None] - omega[:, None, None]                 # (o, i, j)
-    y = omega[:, None, None] + dE[None]                 # (o, m, n)
-    z = dE[:, :, None, None] + dE[None, None]           # (i, j, m, n)
+    de_flat = dE.reshape(d2)
+    x = de_flat[None] - omega[:, None]                  # (o, ij)
+    y = omega[:, None] + de_flat[None]                  # (o, mn)
+    z = (de_flat[:, None] + de_flat[None]).reshape(d2 * d2)
 
     # sin/cos(x dt) by angle addition: x dt = Omega_ij dt - omega dt,
     # so only O(n_omega + d^2) f64 transcendentals (software-emulated
-    # on TPU) instead of O(n_omega d^2).
+    # on TPU) instead of O(n_omega d^2).  All lattice work runs on
+    # flattened (o, d^2 [* d^2]) layouts: trailing dims of size d pad
+    # to full 128-lane vector registers and waste ~32x at d = 4.
     a = -omega * dt                                     # (o,)
-    sa, ca = jnp.sin(a)[:, None, None], jnp.cos(a)[:, None, None]
-    b = dE * dt                                         # (i, j)
+    sa, ca = jnp.sin(a)[:, None], jnp.cos(a)[:, None]
+    b = de_flat * dt                                    # (ij,)
     sb, cb = jnp.sin(b)[None], jnp.cos(b)[None]
     sin_x = sb * ca + cb * sa
     cos_x = cb * ca - sb * sa
 
-    f_x = _frac_from_trig(x, sin_x, cos_x, dt)          # (o, i, j)
+    f_x = _frac_from_trig(x, sin_x, cos_x, dt)          # (o, ij)
     zdt = z * dt
     f_z = _frac_from_trig(z, jnp.sin(zdt), jnp.cos(zdt),
-                          dt)                           # (i, j, m, n)
-    mask_y = (y != 0.0)[:, None, None]                  # (o, 1, 1, m, n)
-    # reciprocal once on the small (o, m, n) table; the big
-    # (o, i, j, m, n) lattice then only multiplies (f64 divides are
-    # far costlier than multiplies under emulation)
-    r_y = (1.0 / jnp.where(mask_y[:, 0, 0], y, 1.0))[:, None, None]
-    general = (f_x[..., None, None] - f_z[None]) * r_y
+                          dt)                           # (ij*mn,)
+    mask_y = y != 0.0                                   # (o, mn)
+    # reciprocal once on the small (o, mn) table; the big
+    # (o, ij*mn) lattice then only multiplies (f64 divides are far
+    # costlier than multiplies under emulation)
+    r_y = 1.0 / jnp.where(mask_y, y, 1.0)
+    # flatten to (o, ij*mn): ij-major, so f_x repeats along lanes and
+    # the mn-tables tile
+    fx_big = f_x._map(lambda v: jnp.repeat(v, d2, axis=-1))
+    ry_big = jnp.tile(r_y, (1, d2))
+    general = (fx_big - f_z[None]) * ry_big
 
     # y == 0 limit, broadcast over (m, n)
     mask_x = x != 0.0
@@ -179,7 +189,9 @@ def _second_order_integral_single(omega: jnp.ndarray, eigvals: jnp.ndarray,
     num = f_x - C(-sin_x * dt, cos_x * dt)              # f(x) - i dt e^{ixdt}
     special = where(mask_x, num * r_x,
                     C(jnp.full_like(x, dt * dt / 2)))
-    return where(mask_y, general, special[..., None, None])
+    out = where(jnp.tile(mask_y, (1, d2)), general,
+                special._map(lambda v: jnp.repeat(v, d2, axis=-1)))
+    return out.reshape(n_w, d, d, d, d)
 
 
 # -----------------------------------------------------------------------------
