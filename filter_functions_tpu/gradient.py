@@ -39,32 +39,47 @@ def _derivative_integral(omega: jnp.ndarray, eigvals: jnp.ndarray,
         Omega_pq == 0:  (frac(y) - i dt e^{i y dt}) / y   (y != 0)
                         dt^2 / 2                          (y == 0)
     """
-    dE = eigvals[:, None] - eigvals[None, :]
-    y = omega[:, None, None] + dE                        # (o, m, n)
-    z = y[:, None, None, :, :] + dE[None, :, :, None, None]
+    d = eigvals.shape[0]
+    d2 = d * d
+    n_w = omega.shape[0]
+    dE = (eigvals[:, None] - eigvals[None, :]).reshape(d2)
+    y = omega[:, None] + dE[None]                        # (o, mn)
 
-    def frac(u):
-        m = u != 0.0
-        us = jnp.where(m, u, 1.0)
-        e = cexpm1(u * dt)
-        return C(jnp.where(m, e.re / us, 0.0),
-                 jnp.where(m, e.im / us,
-                           jnp.broadcast_to(jnp.asarray(dt, u.dtype),
-                                            u.shape)))
+    # All lattice work on flattened (o, d^2 [* d^2]) layouts (tiny
+    # trailing dims pad to full 128-lane registers), with sin/cos by
+    # angle addition: O(n_w + d^2) software-emulated transcendentals
+    # instead of O(n_w d^4).
+    so, co = jnp.sin(omega * dt)[:, None], jnp.cos(omega * dt)[:, None]
+    sd, cd = jnp.sin(dE * dt)[None], jnp.cos(dE * dt)[None]
+    sy = so * cd + co * sd
+    cy = co * cd - so * sd
 
-    frac_y = frac(y)
-    frac_z = frac(z)
-    mask_pq = (dE != 0.0)[None, :, :, None, None]
-    de_safe = jnp.where(dE != 0.0, dE, 1.0)[None, :, :, None, None]
-    general = (frac_y[:, None, None] - frac_z) / de_safe
+    from .numeric import _frac_from_trig
+    frac_y = _frac_from_trig(y, sy, cy, dt)              # (o, mn)
+
+    # z[o, pq*d2 + mn] = y[o, mn] + dE[pq]; trig again by addition
+    def rep(v):
+        return jnp.repeat(v, d2, axis=-1)
+
+    def til(v):
+        return jnp.tile(v, (1, d2)) if v.ndim == 2 else jnp.tile(v, d2)
+
+    z = til(y) + rep(dE)[None]
+    sz = til(sy) * rep(cd) + til(cy) * rep(sd)
+    cz = til(cy) * rep(cd) - til(sy) * rep(sd)
+    frac_z = _frac_from_trig(z, sz, cz, dt)              # (o, pq*mn)
+
+    mask_pq = (dE != 0.0)
+    r_pq = rep(1.0 / jnp.where(mask_pq, dE, 1.0))[None]
+    general = (frac_y._map(til) - frac_z) * r_pq
 
     mask_y = y != 0.0
-    y_safe = jnp.where(mask_y, y, 1.0)
-    exp_y = cexp(y * dt)
-    num = frac_y - C(-exp_y.im * dt, exp_y.re * dt)      # frac - i dt e^{iy}
-    diag_val = where(mask_y, num / y_safe,
+    r_y = 1.0 / jnp.where(mask_y, y, 1.0)
+    num = frac_y - C(-sy * dt, cy * dt)                  # frac - i dt e^{iy}
+    diag_val = where(mask_y, num * r_y,
                      C(jnp.full_like(y, dt * dt / 2)))
-    return where(mask_pq, general, diag_val[:, None, None])
+    out = where(rep(mask_pq)[None], general, diag_val._map(til))
+    return out.reshape(n_w, d, d, d, d)
 
 
 def _liouville_derivative(dt: jnp.ndarray, propagators: C, basis: Basis,
