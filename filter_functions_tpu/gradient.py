@@ -20,7 +20,7 @@ from jax import lax
 
 from . import numeric, superoperator, util
 from .basis import Basis
-from .cplx import C, asc, ceinsum, cexp, cexpm1, matmul, where
+from .cplx import C, asc, ceinsum, cexp, matmul, where
 
 __all__ = ['calculate_derivative_of_control_matrix_from_scratch',
            'calculate_filter_function_derivative', 'infidelity_derivative']
