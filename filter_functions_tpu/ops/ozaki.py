@@ -197,6 +197,16 @@ ozaki_matmul.defvjp(_ozaki_fwd, _ozaki_bwd)
 # -----------------------------------------------------------------------------
 # Complex (split re/im) Ozaki matmul with shared slice decompositions
 # -----------------------------------------------------------------------------
+def _cmul_mode() -> str:
+    """Resolve the complex-multiply algorithm ('3' Gauss / '4' naive)
+    from FF_TPU_OZAKI_CMUL.  Read eagerly per call and passed down as a
+    static argument so toggling the env var between calls actually
+    switches executables; inside a user jit it is (necessarily) baked
+    in at trace time.
+    """
+    return os.environ.get('FF_TPU_OZAKI_CMUL', '3')
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def ozaki_matmul_c(a_re, a_im, b_re, b_im,
                    precision_bits: int = DEFAULT_PRECISION_BITS):
@@ -208,12 +218,14 @@ def ozaki_matmul_c(a_re, a_im, b_re, b_im,
 
     Returns (re, im) of shape (..., M, N).
     """
-    return _ozaki_matmul_c_impl(a_re, a_im, b_re, b_im, precision_bits)
+    return _ozaki_matmul_c_impl(a_re, a_im, b_re, b_im, precision_bits,
+                                _cmul_mode())
 
 
-@functools.partial(jax.jit, static_argnames=('precision_bits',))
+@functools.partial(jax.jit, static_argnames=('precision_bits', 'cmul'))
 def _ozaki_matmul_c_impl(a_re, a_im, b_re, b_im,
-                         precision_bits: int = DEFAULT_PRECISION_BITS):
+                         precision_bits: int = DEFAULT_PRECISION_BITS,
+                         cmul: str = '3'):
     K = a_re.shape[-1]
     if K > _MAX_K:
         # chunk the reduction exactly as the real path does
@@ -236,7 +248,7 @@ def _ozaki_matmul_c_impl(a_re, a_im, b_re, b_im,
         out_re = out_im = None
         for c in range(n_chunks):
             t_re, t_im = _ozaki_matmul_c_impl(ar[c], ai[c], br[c], bi[c],
-                                              precision_bits)
+                                              precision_bits, cmul)
             out_re = t_re if out_re is None else out_re + t_re
             out_im = t_im if out_im is None else out_im + t_im
         return out_re, out_im
@@ -255,7 +267,7 @@ def _ozaki_matmul_c_impl(a_re, a_im, b_re, b_im,
     br_sl, br_sc = sl_b(b_re)
     bi_sl, bi_sc = sl_b(b_im)
 
-    if os.environ.get('FF_TPU_OZAKI_CMUL', '3') == '4':
+    if cmul == '4':
         # 4-multiplication form: one fewer slicing of each operand
         # (the f64-elementwise-bound step) at the cost of one more
         # bf16 matmul set (the cheap MXU step).
@@ -281,7 +293,8 @@ def _ozaki_matmul_c_impl(a_re, a_im, b_re, b_im,
 
 
 def _ozaki_c_fwd(a_re, a_im, b_re, b_im, precision_bits):
-    return (_ozaki_matmul_c_impl(a_re, a_im, b_re, b_im, precision_bits),
+    return (_ozaki_matmul_c_impl(a_re, a_im, b_re, b_im, precision_bits,
+                                 _cmul_mode()),
             (a_re, a_im, b_re, b_im))
 
 
@@ -293,9 +306,9 @@ def _ozaki_c_bwd(precision_bits, res, g):
     bt_re, bt_im = b_re.swapaxes(-1, -2), b_im.swapaxes(-1, -2)
     at_re, at_im = a_re.swapaxes(-1, -2), a_im.swapaxes(-1, -2)
     da_re, da_im = _ozaki_matmul_c_impl(g_re, g_im, bt_re, -bt_im,
-                                        precision_bits)
+                                        precision_bits, _cmul_mode())
     db_re, db_im = _ozaki_matmul_c_impl(at_re, -at_im, g_re, g_im,
-                                        precision_bits)
+                                        precision_bits, _cmul_mode())
     return da_re, da_im, db_re, db_im
 
 

@@ -48,9 +48,16 @@ def spectrum_basis(omega, n_nodes: int,
     Returns ``(nodes (n_nodes,), W (n_nodes, n_omega))`` with
     ``S(omega) = sum_k s_k W[k]`` piecewise-linear in log(omega).
     """
+    if n_nodes < 2:
+        raise ValueError(f'Need n_nodes >= 2 for interpolation, got '
+                         f'{n_nodes}')
     omega = np.asarray(omega)
     lo = np.log(omega_min if omega_min is not None else omega.min())
     hi = np.log(omega_max if omega_max is not None else omega.max())
+    if not hi > lo:
+        raise ValueError('Degenerate frequency range: need '
+                         f'omega_max > omega_min > 0, got [{np.exp(lo)}, '
+                         f'{np.exp(hi)}]')
     node_logs = np.linspace(lo, hi, n_nodes)
     nodes = np.exp(node_logs)
     x = np.log(np.clip(omega, nodes[0], nodes[-1]))
@@ -109,7 +116,11 @@ def reconstruct(a, infidelities, ridge: float = 0.0,
     """
     a = jnp.asarray(a)
     y = jnp.asarray(infidelities)
-    row_scale = 1.0 / jnp.linalg.norm(a, axis=1)
+    # Guard against all-zero rows (a pulse whose filter function does
+    # not overlap any basis hat): leave such rows unscaled instead of
+    # poisoning the solve with inf/NaN.
+    norms = jnp.linalg.norm(a, axis=1)
+    row_scale = 1.0 / jnp.where(norms > 0, norms, 1.0)
     return _fista_nnls(a * row_scale[:, None], y * row_scale,
                        float(ridge), float(curvature), int(n_steps))
 

@@ -319,6 +319,13 @@ def test_ozaki_cmul_variants_agree(monkeypatch):
         < 2**-28 * scale
 
     monkeypatch.setenv('FF_TPU_OZAKI_CMUL', '4')
+    # The env var is resolved eagerly per call and passed as a static
+    # argument, so REUSING the first call's shapes exercises that the
+    # toggle actually switches executables (regression: it used to be
+    # read at trace time and silently ignored after the first compile).
+    f_re, f_im = ozaki_matmul_c(a.real, a.imag, b.real, b.imag)
+    assert np.abs(np.asarray(f_re) + 1j*np.asarray(f_im) - want).max() \
+        < 2**-28 * scale
     a = local.standard_normal((80, 56)) + 1j * local.standard_normal((80, 56))
     b = local.standard_normal((56, 40)) + 1j * local.standard_normal((56, 40))
     f_re, f_im = ozaki_matmul_c(a.real, a.imag, b.real, b.imag)

@@ -42,6 +42,27 @@ class TestSpectroscopy:
             s_nodes, nodes, omega))
         assert_allclose(got, 2.0 + np.log(omega), atol=1e-12)
 
+    def test_basis_validation(self):
+        omega = np.geomspace(0.1, 100, 17)
+        with pytest.raises(ValueError, match='n_nodes'):
+            spectroscopy.spectrum_basis(omega, 1)
+        with pytest.raises(ValueError, match='[Dd]egenerate'):
+            spectroscopy.spectrum_basis(np.full(5, 2.0), 4)
+        with pytest.raises(ValueError, match='[Dd]egenerate'):
+            spectroscopy.spectrum_basis(omega, 4, omega_min=5.0,
+                                        omega_max=5.0)
+
+    def test_reconstruct_zero_row_guard(self):
+        # A pulse whose filter function misses every basis hat yields a
+        # zero design-matrix row; the solve must stay finite.
+        a = np.array([[1.0, 0.5, 0.0],
+                      [0.0, 0.0, 0.0],
+                      [0.2, 1.0, 0.3]])
+        y = np.array([1.0, 0.0, 0.8])
+        s = np.asarray(spectroscopy.reconstruct(a, y, n_steps=200))
+        assert np.isfinite(s).all()
+        assert (s >= 0).all()
+
     def test_design_matrix_forward_consistency(self, cpmg_setup):
         """A @ s_nodes equals directly integrated infidelities for a
         spectrum living exactly in the interpolation basis."""
