@@ -46,6 +46,44 @@ def _np(x):
     return np.asarray(x)
 
 
+def _make_str_tex_compatible(s, math: bool = False) -> str:
+    """Escape characters in user-supplied identifiers/labels that break
+    TeX or mathtext rendering.
+
+    Reference behavior (/root/reference/filter_functions/plotting.py:72-88)
+    escapes ``_`` under ``text.usetex`` only.  This version additionally
+    escapes the other TeX specials under usetex, and -- beyond the
+    reference -- guards matplotlib's default *mathtext* renderer, where
+    ``%``/``#`` raise ParseException and a stray ``$`` unbalances the
+    surrounding math environment.  With ``math=True`` the string is
+    destined for a ``$...$`` wrapper; intentional TeX (``\\sigma_x``,
+    ``B^{(1)}``, already-escaped specials) is left untouched.
+    """
+    s = str(s)
+    usetex = plt.rcParams['text.usetex']
+    if not usetex and not math:
+        return s  # plain mathtext text renders any character
+
+    # usetex supports embedded $math$ environments (reference parity),
+    # so '$' stays; mathtext math-mode labels get '$' escaped since a
+    # stray one unbalances the surrounding wrapper.
+    specials = '_%#&' if usetex else '%$#'
+    out = []
+    for loc, ch in enumerate(s):
+        if ch in specials and not s[loc - 1:loc] == '\\':
+            if ch == '_' and s.count('$', loc) % 2:
+                out.append(ch)  # inside an embedded math environment
+            elif ch == '#' and not usetex:
+                # mathtext has no \# escape; emit as literal text by
+                # interrupting the surrounding math environment
+                out.append('$#$')
+            else:
+                out.append('\\' + ch)
+        else:
+            out.append(ch)
+    return ''.join(out)
+
+
 def get_states_from_prop(U, psi0=None) -> np.ndarray:
     """|psi(t)> = U(t, 0)|psi(0)> for a stack of propagators
     (plotting.py:132-152 equivalent)."""
@@ -107,9 +145,10 @@ def plot_pulse_train(pulse, c_oper_identifiers: Optional[Sequence] = None,
     handles = []
     for i in c_idx:
         coeffs = np.asarray(pulse.c_coeffs[i])
+        label = _make_str_tex_compatible(pulse.c_oper_identifiers[i],
+                                         math=True)
         handles += axes.step(t, np.concatenate([coeffs[:1], coeffs]),
-                             label=f'${pulse.c_oper_identifiers[i]}$',
-                             **(plot_kw or {}))
+                             label=f'${label}$', **(plot_kw or {}))
     axes.set_xlim(t[0], t[-1])
     axes.set_xlabel('$t$ / a.u.')
     axes.set_ylabel('Control parameter / a.u.')
@@ -145,8 +184,9 @@ def plot_filter_function(pulse, omega: Optional[np.ndarray] = None,
         xlabel = r'$\omega$'
     handles = []
     for i in n_idx:
-        handles += axes.plot(x, ff_[i, i],
-                             label=f'${pulse.n_oper_identifiers[i]}$',
+        label = _make_str_tex_compatible(pulse.n_oper_identifiers[i],
+                                         math=True)
+        handles += axes.plot(x, ff_[i, i], label=f'${label}$',
                              **(plot_kw or {}))
     axes.set_xscale(xscale)
     if yscale == 'log':
@@ -185,8 +225,9 @@ def plot_pulse_correlation_filter_function(
             if cycler is not None:
                 ax.set_prop_cycle(cycler)
             for i in n_idx:
-                ax.plot(x, f_pc[g, h, i, i],
-                        label=f'${pulse.n_oper_identifiers[i]}$',
+                label = _make_str_tex_compatible(
+                    pulse.n_oper_identifiers[i], math=True)
+                ax.plot(x, f_pc[g, h, i, i], label=f'${label}$',
                         **(plot_kw or {}))
             ax.set_xscale(xscale)
             if yscale == 'log':
@@ -271,14 +312,16 @@ def plot_cumulant_function(
     for panel, (ax, ki) in enumerate(zip(grid, k)):
         im = ax.imshow(ki, norm=norm, cmap=cmap or 'RdBu',
                        **(imshow_kw or {}))
-        ax.set_title(f'$K({labels[panel]})$'
+        ax.set_title(f'$K({_make_str_tex_compatible(labels[panel], math=True)})$'
                      if panel < len(labels) else '')
         if basis_labels is not None:
-            ax.set_xticks(range(len(basis_labels)))
-            ax.set_yticks(range(len(basis_labels)))
-            ax.set_xticklabels(basis_labels, rotation=90,
+            tick_labels = [_make_str_tex_compatible(lab)
+                           for lab in basis_labels]
+            ax.set_xticks(range(len(tick_labels)))
+            ax.set_yticks(range(len(tick_labels)))
+            ax.set_xticklabels(tick_labels, rotation=90,
                                fontsize=basis_labelsize)
-            ax.set_yticklabels(basis_labels, fontsize=basis_labelsize)
+            ax.set_yticklabels(tick_labels, fontsize=basis_labelsize)
     cbar = fig.colorbar(im, ax=list(grid), label=cbar_label,
                         **(cbar_kw or {}))
     if cbar_labelsize is not None:
