@@ -119,6 +119,48 @@ class on_host:
         return False
 
 
+def _parse_bytes(s: str) -> int:
+    """'2G', '512M', '1048576' -> bytes."""
+    s = s.strip().upper()
+    mult = {'K': 1 << 10, 'M': 1 << 20, 'G': 1 << 30, 'T': 1 << 40}
+    if s and s[-1] in mult:
+        return int(float(s[:-1]) * mult[s[-1]])
+    return int(s)
+
+
+def device_memory_bytes() -> int:
+    """Reported memory of the default device (bytes), or 0 if the
+    backend does not expose it (e.g. the CPU platform)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if stats:
+            return int(stats.get('bytes_limit', 0))
+    except Exception:
+        pass
+    return 0
+
+
+def memory_budget(fraction: float = 1 / 8,
+                  fallback: int = 2 << 30) -> int:
+    """Working-buffer byte budget for memory-bounded chunked kernels
+    (the K4 scan-table chunking and the K11 concat-rule group batching).
+
+    Resolution order: the ``FF_TPU_MEMORY_BUDGET`` env var (bytes, or
+    with a K/M/G/T suffix) overrides everything; otherwise *fraction*
+    of the device's reported memory (so a 16 GB v5e gets the tuned
+    2 GiB at the default fraction while smaller chips scale down);
+    *fallback* when the backend reports nothing.  Clamped to
+    [64 MiB, 4 GiB] -- the kernels chunk more/less aggressively, the
+    result is identical either way.
+    """
+    env = os.environ.get('FF_TPU_MEMORY_BUDGET')
+    if env:
+        return _parse_bytes(env)
+    total = device_memory_bytes()
+    budget = int(total * fraction) if total else int(fallback)
+    return max(64 << 20, min(budget, 4 << 30))
+
+
 def contraction_mode() -> str:
     """How the hot control-matrix contraction is executed.
 

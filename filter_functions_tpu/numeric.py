@@ -37,7 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from . import util
+from . import config, util
 from .basis import Basis
 from .cplx import (C, asc, ceinsum, ceinsum2, cexp, cexpm1, eigh,
                    expm_real, geometric_series, matmul, where)
@@ -304,8 +304,12 @@ def _concat_c(a: C, b: C) -> C:
 
 
 def _pick_chunk(G: int, n_omega: int, d: int,
-                budget_bytes: int = 2 << 30) -> int:
-    """Segments per scan step so the integral table stays in budget."""
+                budget_bytes: Optional[int] = None) -> int:
+    """Segments per scan step so the integral table stays within the
+    device-aware memory budget (config.memory_budget: FF_TPU_MEMORY_BUDGET
+    env override > fraction of reported device memory > 2 GiB)."""
+    if budget_bytes is None:
+        budget_bytes = config.memory_budget()
     per_seg = max(n_omega * d * d * 16, 1)
     return max(1, min(G, budget_bytes // per_seg))
 
@@ -834,7 +838,7 @@ def calculate_second_order_filter_function_from_atomic(
     # a memory budget: batched-but-bounded, unlike a per-pulse Python
     # loop (O(G) dispatches) or one monolithic stack (OOM for long
     # second-order trains).
-    budget = 1 << 30
+    budget = config.memory_budget(fraction=1 / 16, fallback=1 << 30)
     int2_bytes = [np.prod(np.shape(
         asc(intermediates[g]['second_order_integral']).re)) * 16
         for g in range(1, G)]
@@ -1276,10 +1280,21 @@ def infidelity(pulse, spectrum, omega, n_oper_identifiers=None,
         delta_n = (n_max - n_min) // (n_points - 1)
         n_samples = np.arange(n_min, n_max + delta_n, delta_n)
         convergence_infids = np.empty((len(n_samples), len(idx)))
+        # Pad every grid in the sweep to the largest size with repeats
+        # of the UV endpoint: repeated abscissae carry zero trapezoid
+        # weight, so each integral is EXACTLY that of the unpadded
+        # grid, while all n_points evaluations share ONE compiled
+        # shape instead of recompiling the full pipeline per n_omega
+        # (the dispatch-cliff economics of doc/performance.md; the
+        # reference recomputes eagerly and has no such cliff,
+        # /root/reference/filter_functions/numeric.py:2254-2292).
+        n_pad = int(n_samples[-1])
         for i, n in enumerate(n_samples):
-            freqs = xspace(omega_IR, omega_UV, n)
+            freqs = xspace(omega_IR, omega_UV, int(n))
+            padded = np.concatenate([freqs,
+                                     np.full(n_pad - int(n), freqs[-1])])
             convergence_infids[i] = np.asarray(infidelity(
-                pulse, spectrum(freqs), freqs,
+                pulse, spectrum(padded), padded,
                 n_oper_identifiers=n_oper_identifiers, which='total'))
         return n_samples, convergence_infids
 

@@ -393,6 +393,34 @@ class TestInfidelityModes:
         with pytest.raises(TypeError):
             ff.infidelity(p, 1.0, dict(), test_convergence=True)
 
+    def test_convergence_single_shape_and_parity(self, monkeypatch):
+        """The sweep pads every grid to n_max (zero-weight repeated
+        endpoint), so one compiled shape serves all n_points AND the
+        results equal unpadded per-size evaluations exactly."""
+        p = rand_pulse_sequence(2, 4)
+
+        def spectrum(omega):
+            return 1e-2 / omega
+
+        grid = dict(omega_IR=0.2, omega_UV=20.0, n_min=20, n_max=60,
+                    n_points=3)
+        seen_sizes = set()
+        orig = type(p).get_filter_function
+
+        def spy(self, omega, *args, **kwargs):
+            seen_sizes.add(len(np.asarray(omega)))
+            return orig(self, omega, *args, **kwargs)
+
+        monkeypatch.setattr(type(p), 'get_filter_function', spy)
+        n_samples, infids = ff.infidelity(p, spectrum, grid,
+                                          test_convergence=True)
+        assert seen_sizes == {60}
+        monkeypatch.undo()
+        for n, row in zip(n_samples, infids):
+            freqs = np.linspace(0.2, 20.0, int(n))
+            direct = np.asarray(ff.infidelity(p, spectrum(freqs), freqs))
+            assert_allclose(row, direct, rtol=1e-13)
+
     def test_return_smallness(self):
         p = rand_pulse_sequence(2, 3)
         omega = np.linspace(0.5, 5, 51)

@@ -498,3 +498,49 @@ class TestMisc:
             util.tensor_insert(arr, ins, pos=1, arr_dims=[[2, 3], [2, 3]]),
             ref_util.tensor_insert(arr, ins, pos=1,
                                    arr_dims=[[2, 3], [2, 3]]), atol=1e-14)
+
+
+class TestMemoryBudget:
+    """Device-aware chunking budget (config.memory_budget)."""
+
+    def test_env_override(self, monkeypatch):
+        from filter_functions_tpu import config
+        monkeypatch.setenv('FF_TPU_MEMORY_BUDGET', '512M')
+        assert config.memory_budget() == 512 << 20
+        monkeypatch.setenv('FF_TPU_MEMORY_BUDGET', '2G')
+        assert config.memory_budget() == 2 << 30
+        monkeypatch.setenv('FF_TPU_MEMORY_BUDGET', '1048576')
+        assert config.memory_budget() == 1 << 20
+
+    def test_scales_with_device_memory(self, monkeypatch):
+        from filter_functions_tpu import config
+        monkeypatch.delenv('FF_TPU_MEMORY_BUDGET', raising=False)
+        # 16 GB chip at the default 1/8 fraction -> the tuned 2 GiB
+        monkeypatch.setattr(config, 'device_memory_bytes',
+                            lambda: 16 << 30)
+        assert config.memory_budget() == 2 << 30
+        # small chip scales down instead of silently overcommitting
+        monkeypatch.setattr(config, 'device_memory_bytes',
+                            lambda: 8 << 30)
+        assert config.memory_budget() == 1 << 30
+        # clamped below
+        monkeypatch.setattr(config, 'device_memory_bytes',
+                            lambda: 128 << 20)
+        assert config.memory_budget() == 64 << 20
+
+    def test_fallback_when_unreported(self, monkeypatch):
+        from filter_functions_tpu import config
+        monkeypatch.delenv('FF_TPU_MEMORY_BUDGET', raising=False)
+        monkeypatch.setattr(config, 'device_memory_bytes', lambda: 0)
+        assert config.memory_budget() == 2 << 30
+        assert config.memory_budget(fraction=1/16,
+                                    fallback=1 << 30) == 1 << 30
+
+    def test_pick_chunk_uses_budget(self, monkeypatch):
+        from filter_functions_tpu import numeric
+        monkeypatch.setenv('FF_TPU_MEMORY_BUDGET', '64M')
+        small = numeric._pick_chunk(1000, 4000, 16)
+        monkeypatch.setenv('FF_TPU_MEMORY_BUDGET', '4G')
+        large = numeric._pick_chunk(1000, 4000, 16)
+        assert small < large
+        assert numeric._pick_chunk(10, 100, 2) == 10  # G caps the chunk
