@@ -743,6 +743,86 @@ def _second_order_step_terms_jit(eigvals, eigvecs, propagators, omega,
     return n_t, b_t, step, step.cumsum(axis=0)[:-1]
 
 
+def _so_matmul(a: C, b: C) -> C:
+    """Batched complex matmul on the mode-selected path (Ozaki MXU on
+    TPU + x64, Gauss-3 ``jnp.matmul`` elsewhere)."""
+    if config.contraction_mode() == 'ozaki':
+        from .ops.ozaki import ozaki_matmul_c
+        re, im = ozaki_matmul_c(a.re, a.im, b.re, b.im)
+        return C(re, im)
+    from .cplx import _bilinear
+    return _bilinear(jnp.matmul, a, b)
+
+
+def _second_order_total(eigvals, n_opers_transformed, basis_transformed,
+                        ctrlmat_step, cumul_padded, omega, dt) -> C:
+    r"""K10 total without per-step caching: the whole segment sum as
+    batched MXU matmuls instead of a serial ``lax.scan``.
+
+    Two rewrites relative to the scan (reference loop:
+    /root/reference/filter_functions/numeric.py:1470-1699):
+
+    * complete steps:  sum_g conj(B_step^(g)) (x) B_cumul^(g-1) is,
+      per frequency, a (A x G) @ (G x B) matmul with A = B = (a k) the
+      flattened noise-oper x basis index -- the serial outer-product
+      accumulation becomes one reduction over g on the matrix unit.
+    * incomplete steps: sum_g nob_g I2_g nob_g runs as a g-batched
+      first stage T_g = I2_g @ nob_g^T followed by ONE matmul whose
+      reduction axis is the flattened (g, ij) pair, so the segment sum
+      also rides the MXU (K = G d^2 instead of d^2).
+
+    The (G, n_w, d^4) integral lattice is chunked over g to stay inside
+    :func:`config.memory_budget` for large-d pulses.
+    """
+    G, d = eigvals.shape
+    d2 = d * d
+    n_nops = n_opers_transformed.shape[0]
+    n_basis = basis_transformed.shape[1]
+    n_w = omega.shape[0]
+    A = n_nops * n_basis
+
+    # n_opers_basis[g,(a k),(i j)] = n_t[a,g,i,j] * b_t[g,k,j,i]
+    nob = ceinsum('agij,gkji->gakij', n_opers_transformed,
+                  basis_transformed).reshape(G, A, d2)
+
+    # --- complete steps ---
+    x = ctrlmat_step.conj().reshape(G, A, n_w)._map(
+        lambda v: v.transpose(2, 1, 0))                   # (o, A, G)
+    y = cumul_padded.reshape(G, A, n_w)._map(
+        lambda v: v.transpose(2, 0, 1))                   # (o, G, B)
+    comp = _so_matmul(x, y)                               # (o, A, B)
+    complete = comp._map(lambda v: v.transpose(1, 2, 0)).reshape(
+        n_nops, n_basis, n_nops, n_basis, n_w)._map(
+        lambda v: v.transpose(0, 2, 1, 3, 4))             # (a,b,k,l,o)
+
+    # --- incomplete steps, chunked over g ---
+    per_g = n_w * d2 * d2 * 16
+    gc = max(1, min(G, config.memory_budget() // max(per_g, 1)))
+    n_chunks = -(-G // gc)
+    incomplete = None
+    for c in range(n_chunks):
+        sl = slice(c * gc, min((c + 1) * gc, G))
+        g_here = sl.stop - sl.start
+        int2 = jax.vmap(_second_order_integral_single,
+                        in_axes=(None, 0, 0))(
+            omega, eigvals[sl], dt[sl])                   # (g, o, d,d,d,d)
+        i2 = int2.reshape(g_here, n_w * d2, d2)
+        nob_c = nob[sl]
+        nob_t = nob_c._map(lambda v: v.swapaxes(-1, -2))  # (g, d2, A)
+        t = _so_matmul(i2, nob_t)                         # (g, o*d2, A)
+        t2 = t.reshape(g_here, n_w, d2, A)._map(
+            lambda v: v.transpose(0, 2, 1, 3).reshape(g_here * d2,
+                                                      n_w * A))
+        nob2 = nob_c._map(
+            lambda v: v.transpose(1, 0, 2).reshape(A, g_here * d2))
+        s = _so_matmul(nob2, t2)                          # (A, o*B)
+        incomplete = s if incomplete is None else incomplete + s
+    incomplete = incomplete.reshape(
+        n_nops, n_basis, n_w, n_nops, n_basis)._map(
+        lambda v: v.transpose(0, 3, 1, 4, 2))             # (a,b,k,l,o)
+    return incomplete + complete
+
+
 @functools.partial(jax.jit,
                    static_argnames=('cache_int', 'cache_cumulative'))
 def _second_order_scan(eigvals, n_opers_transformed, basis_transformed,
@@ -779,6 +859,14 @@ def _second_order_scan(eigvals, n_opers_transformed, basis_transformed,
                                    f), ctrlmat_cumulative.re]),
         jnp.concatenate([jnp.zeros((1,) + ctrlmat_cumulative.im.shape[1:],
                                    f), ctrlmat_cumulative.im]))
+    if not cache_int and not cache_cumulative:
+        # No per-step outputs needed: take the scan-free batched-matmul
+        # formulation (the hot path of the fused error-transfer-matrix
+        # pipeline).
+        total = _second_order_total(eigvals, n_opers_transformed,
+                                    basis_transformed, ctrlmat_step,
+                                    cumul_padded, omega, dt)
+        return total, None, None, None
     (complete, incomplete), (int2_cache, cumulative_ff) = lax.scan(
         body, (zero(shape_ff), zero(shape_ff)),
         (eigvals, n_opers_transformed.swapaxes(0, 1), basis_transformed,
