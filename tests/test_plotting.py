@@ -1,13 +1,15 @@
 """Plotting module tests on the Agg backend: every kwarg branch of the
 six plot functions plus the exception paths (depth modeled on the
 reference tests/test_plotting.py)."""
-import matplotlib
-matplotlib.use('Agg')
-
-import matplotlib.pyplot as plt
 import numpy as np
 import pytest
-from cycler import cycler as mpl_cycler
+
+matplotlib = pytest.importorskip(
+    'matplotlib', reason='plotting is an optional extra')
+matplotlib.use('Agg')
+
+import matplotlib.pyplot as plt  # noqa: E402
+from cycler import cycler as mpl_cycler  # noqa: E402
 
 import filter_functions_tpu as ff
 from filter_functions_tpu import plotting
