@@ -45,6 +45,28 @@ def _concatenate_hamiltonian(opers, identifiers, coeffs, kind: str):
     different opers -> suffix ``_p`` with the pulse position; missing
     noise sensitivities are inferred when constant, else an error.
     """
+    if len(opers) > 1:
+        key0 = (id(opers[0]), id(identifiers[0]))
+        if all(id(o) == key0[0] and id(i) == key0[1]
+               for o, i in zip(opers, identifiers)):
+            # Uniform train of one repeated pulse object (periodic
+            # trains, concatenate([p] * G)): no union/clash work at
+            # all -- operators and identifiers pass through, and the
+            # coefficient grid is a single tile/concatenate.  Rows are
+            # already identifier-sorted (PulseSequence invariant).
+            idents = [str(s) for s in identifiers[0]]
+            c0 = id(coeffs[0])
+            if all(id(c) == c0 for c in coeffs):
+                concat_coeffs = np.tile(np.asarray(coeffs[0]),
+                                        (1, len(coeffs)))
+            else:
+                concat_coeffs = np.concatenate(
+                    [np.asarray(c) for c in coeffs], axis=1)
+            shared = {i: i for i in idents}
+            mapping = {p: shared for p in range(len(opers))}
+            return (np.asarray(opers[0]), np.array(idents),
+                    concat_coeffs, mapping)
+
     n_dt_per_pulse = [c.shape[1] for c in coeffs]
     seg_bounds = [0] + list(accumulate(n_dt_per_pulse))
     n_ops_per_pulse = [len(op) for op in opers]
@@ -61,15 +83,22 @@ def _concatenate_hamiltonian(opers, identifiers, coeffs, kind: str):
             hash_memo[id(op)] = h
         per_pulse_hashes.append(h)
     oper_hashes = [h for hs in per_pulse_hashes for h in hs]
-    all_identifiers = np.concatenate(identifiers)
     uniq_hashes, first_idx, inverse = np.unique(
         oper_hashes, return_index=True, return_inverse=True)
     uniq_hashes = uniq_hashes.tolist()
-    uniq_identifiers = all_identifiers[first_idx].tolist()
+    pulse_starts = [0] + pulse_bounds
+
+    def _ident_at(flat):
+        # identifier at a flat operator index, without materializing
+        # the O(G)-element concatenation of all identifier arrays
+        p = bisect.bisect(pulse_bounds, int(flat))
+        return str(identifiers[p][int(flat) - pulse_starts[p]])
+
+    uniq_identifiers = [_ident_at(fp) for fp in first_idx]
     # gather only the unique operators instead of concatenating all
     first_pulse = [bisect.bisect(pulse_bounds, int(fp)) for fp in first_idx]
     uniq_opers = np.array(
-        [np.asarray(opers[p])[int(fp) - ([0] + pulse_bounds)[p]]
+        [np.asarray(opers[p])[int(fp) - pulse_starts[p]]
          for p, fp in zip(first_pulse, first_idx)])
 
     # hash tables in both directions to detect clashes (deduped by
@@ -92,8 +121,21 @@ def _concatenate_hamiltonian(opers, identifiers, coeffs, kind: str):
                          'operators but different identifiers. Please '
                          f'choose unique {kind} identifiers!')
 
-    mapping = {p: {ident: ident for ident in identifiers[p]}
-               for p in range(len(opers))}
+    # identifier -> identifier maps, aliased per distinct
+    # (operator-array, identifier-array) object pair: a train of
+    # repeated pulse objects gets ONE shared dict instead of G of them
+    # (iterating a numpy str array per pulse dominates long concats).
+    # Aliasing is safe: the clash renames below update every pulse
+    # carrying the same (identifier, operator) pair identically.
+    shared_maps: Dict[tuple, dict] = {}
+    mapping = {}
+    for p in range(len(opers)):
+        key = (id(opers[p]), id(identifiers[p]))
+        m = shared_maps.get(key)
+        if m is None:
+            m = {str(ident): str(ident) for ident in identifiers[p]}
+            shared_maps[key] = m
+        mapping[p] = m
     hashes_arr = np.asarray(oper_hashes)
     for ident, hashes in id_to_opers.items():
         if len(hashes) > 1:
@@ -111,7 +153,7 @@ def _concatenate_hamiltonian(opers, identifiers, coeffs, kind: str):
                 # pulse_sequence.py:1440-1443, which leaves stale
                 # mappings when 3+ pulses are involved)
                 for fp in (hashes_arr == h).nonzero()[0]:
-                    if all_identifiers[fp] == ident:
+                    if _ident_at(fp) == ident:
                         p = bisect.bisect(pulse_bounds, int(fp))
                         mapping[p][ident] = new_ident
 
@@ -121,13 +163,22 @@ def _concatenate_hamiltonian(opers, identifiers, coeffs, kind: str):
 
     n_dt_total = seg_bounds[-1]
     concat_coeffs = np.full((len(uniq_identifiers), n_dt_total), np.nan)
-    # one vectorized block write per pulse (per-member bisect loops are
-    # O(G * n_ops) Python for long trains)
-    start = 0
-    for p, pulse_coeffs in enumerate(coeffs):
-        rows = inverse[start:start + n_ops_per_pulse[p]]
-        concat_coeffs[rows, seg_bounds[p]:seg_bounds[p + 1]] = pulse_coeffs
-        start += n_ops_per_pulse[p]
+    n_ops_uniform = len(set(n_ops_per_pulse)) == 1
+    if n_ops_uniform:
+        inverse2 = inverse.reshape(len(opers), n_ops_per_pulse[0])
+    if n_ops_uniform and (inverse2 == inverse2[0]).all():
+        # every pulse maps its rows identically (the long-train common
+        # case): ONE block write instead of a per-pulse Python loop
+        concat_coeffs[inverse2[0]] = np.concatenate(coeffs, axis=1)
+    else:
+        # one vectorized block write per pulse (per-member bisect loops
+        # are O(G * n_ops) Python for long trains)
+        start = 0
+        for p, pulse_coeffs in enumerate(coeffs):
+            rows = inverse[start:start + n_ops_per_pulse[p]]
+            concat_coeffs[rows,
+                          seg_bounds[p]:seg_bounds[p + 1]] = pulse_coeffs
+            start += n_ops_per_pulse[p]
 
     if kind == 'noise':
         nan_mask = np.isnan(concat_coeffs)
@@ -156,12 +207,14 @@ def concatenate_without_filter_function(
     except TypeError:
         raise TypeError(f'Expected pulses to be iterable, not '
                         f'{type(pulses)}')
-    if not all(isinstance(p, PulseSequence) for p in pulses):
+    # validate once per distinct object (trains repeat pulse objects)
+    uniq = {id(p): p for p in pulses}.values()
+    if not all(isinstance(p, PulseSequence) for p in uniq):
         raise TypeError('Can only concatenate PulseSequences!')
-    if len({p.d for p in pulses}) != 1:
+    if len({p.d for p in uniq}) != 1:
         raise ValueError('Trying to concatenate PulseSequence instances '
                          'with different dimension!')
-    if not util.all_array_equal((p.basis.np for p in pulses)):
+    if not util.all_array_equal((p.basis.np for p in uniq)):
         raise ValueError('Trying to concatenate PulseSequence instances '
                          'with different bases!')
 
@@ -175,7 +228,8 @@ def concatenate_without_filter_function(
 
     newpulse = PulseSequence.from_arrays(*control[:3], *noise[:3], dt,
                                          pulses[0].basis)
-    newpulse.tau = sum(p.tau for p in pulses)
+    tau_by_id = {id(p): p.tau for p in uniq}
+    newpulse.tau = sum(tau_by_id[id(p)] for p in pulses)
     if return_identifier_mappings:
         return newpulse, control[3], noise[3]
     return newpulse
@@ -203,9 +257,19 @@ def concatenate(pulses: Iterable[PulseSequence],
     newpulse, _, n_oper_mapping = concatenate_without_filter_function(
         pulses, return_identifier_mappings=True)
 
-    if all(p.is_cached('total_propagator') for p in pulses):
+    # Long trains repeat pulse objects ([p] * G, Clifford sequences):
+    # evaluate per-pulse properties once per DISTINCT object and fan
+    # out by identity instead of O(G) attribute/cache lookups.
+    uniq_pulses = {id(p): p for p in pulses}
+
+    def per_pulse(fn):
+        vals = {k: fn(p) for k, p in uniq_pulses.items()}
+        return [vals[id(p)] for p in pulses]
+
+    if all(p.is_cached('total_propagator')
+           for p in uniq_pulses.values()):
         newpulse.total_propagator = util.mdot(
-            _stack_c([p.total_propagator for p in pulses][::-1]))
+            _stack_c(per_pulse(lambda p: p.total_propagator)[::-1]))
 
     if calc_pulse_correlation_FF or calc_second_order_FF is True:
         calc_filter_function = True
@@ -225,7 +289,10 @@ def concatenate(pulses: Iterable[PulseSequence],
     rows_memo: Dict[tuple, np.ndarray] = {}
     for i, pulse in enumerate(pulses):
         mapping = n_oper_mapping[i]
-        key = (id(pulse.n_oper_identifiers), *sorted(mapping.items()))
+        # mapping dicts are aliased per distinct pulse object
+        # (_concatenate_hamiltonian), so object identity is the key --
+        # no per-pulse dict sort for long trains
+        key = (id(pulse.n_oper_identifiers), id(mapping))
         rows = rows_memo.get(key)
         if rows is None:
             rows = np.array([row_of[mapping[old]]
@@ -244,12 +311,13 @@ def concatenate(pulses: Iterable[PulseSequence],
 
     equal_n_opers = (n_opers_present.sum(axis=0) > 1).any()
     if omega is None:
-        cached_ctrl_mat = [p.is_cached('control_matrix') for p in pulses]
+        cached_ctrl_mat = per_pulse(
+            lambda p: p.is_cached('control_matrix'))
         if any(cached_ctrl_mat):
             equal_omega = util.all_array_equal(
                 (p.omega for p, c in zip(pulses, cached_ctrl_mat) if c))
         else:
-            cached_omega = [p.is_cached('omega') for p in pulses]
+            cached_omega = per_pulse(lambda p: p.is_cached('omega'))
             equal_omega = util.all_array_equal(
                 (p.omega for p, c in zip(pulses, cached_omega) if c))
         if not equal_omega:
@@ -277,17 +345,45 @@ def concatenate(pulses: Iterable[PulseSequence],
         newpulse.cache_filter_function(omega, which=which)
         return newpulse
 
+    # 'correlations' keeps the per-pulse summands, needed both for the
+    # pulse-correlation FF and the second-order concatenation rule.
+    keep_steps = calc_pulse_correlation_FF or calc_second_order_FF
+
+    if len(uniq_pulses) == 1 and not keep_steps:
+        # A train of ONE repeated pulse object is exactly the periodic
+        # case: boundary phases are z^g with z = e^{i w tau} and the
+        # cumulative Liouvilles are Q^g, so K5's sum is the geometric
+        # series K6 evaluates in closed form (2 log2 G matmuls) --
+        # never materialize the (G-1, n_omega) phase grid or the
+        # (G-1, d^2, d^2) propagator stack.
+        pulse0 = pulses[0]
+        ctrl0 = pulse0.get_control_matrix(omega, show_progressbar)
+        if not newpulse.is_cached('total_propagator'):
+            from .cplx import matrix_power
+            newpulse.total_propagator = matrix_power(
+                asc(pulse0.total_propagator), len(pulses))
+        newpulse.cache_total_phases(omega)
+        newpulse.total_propagator_liouville = liouville_representation(
+            newpulse.total_propagator, newpulse.basis)
+        control_matrix = numeric.calculate_control_matrix_periodic(
+            pulse0.get_total_phases(omega), ctrl0,
+            asc(pulse0.total_propagator_liouville), len(pulses))
+        newpulse.cache_filter_function(omega, control_matrix,
+                                       which=which)
+        return newpulse
+
     # cumulative phase factors e^{i w t_{g-1}} of pulse boundaries.
     # Each pulse's total phase is e^{i w tau} (pulse_sequence.py:1056),
     # so the cumulative product has the closed form e^{i w cumsum(tau)}
     # -- one cexp, no per-pulse dispatch and no cumprod scan (and less
     # rounding than the product for long trains).
-    t_bound = np.cumsum([p.tau for p in pulses[:-1]])
+    t_bound = np.cumsum(per_pulse(lambda p: p.tau)[:-1])
     phases = _boundary_phases(jnp.asarray(omega),
                               jnp.asarray(t_bound))     # (G-1, n_omega) C
 
     # Liouville transfer matrices of the cumulative boundary propagators
-    props_liouville = [p.total_propagator_liouville for p in pulses[:-1]]
+    props_liouville = per_pulse(
+        lambda p: p.total_propagator_liouville)[:-1]
     if any(isinstance(pl, C) for pl in props_liouville):
         propagators_liouville = util.adot(_stack_c(props_liouville))
     else:
@@ -313,9 +409,6 @@ def concatenate(pulses: Iterable[PulseSequence],
     _expected = np.arange(n_nops_new)
     identity_rows = all(np.array_equal(rows, _expected)
                         for rows in rows_memo.values())
-    # 'correlations' keeps the per-pulse summands, needed both for the
-    # pulse-correlation FF and the second-order concatenation rule.
-    keep_steps = calc_pulse_correlation_FF or calc_second_order_FF
     uniform_ctrl = None
     if identity_rows:
         # common fast path: stack cached device arrays directly.
