@@ -367,7 +367,7 @@ def config_dd(iters=5, batch=128, n=16, n_omega=400):
 # -----------------------------------------------------------------------------
 # second_order: cumulant function / error transfer matrix
 # -----------------------------------------------------------------------------
-def config_second_order(iters=3, n_omega=200, batch=8):
+def config_second_order(iters=3, n_omega=200, batch=64):
     """Batch of *batch* distinct pulses, one fused vmapped device call
     (functional.batched_error_transfer_matrix); the reference evaluates
     the same pulses sequentially."""

@@ -13,6 +13,7 @@ complex arrays and are converted at the boundary.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -100,12 +101,30 @@ def error_transfer_matrix(p: PulseArrays, spectrum, omega, basis: Basis,
     tg, td = numeric._cumulant_trace_combos(basis)
     return _etm_core(p, s, s_im, jnp.asarray(omega), jnp.asarray(tg),
                      jnp.asarray(td) if second_order else None,
-                     second_order, tuple(range(n_nops)))
+                     second_order, tuple(range(n_nops)),
+                     _so_shift_dtype())
 
 
-@functools.partial(jax.jit, static_argnames=('second_order', 'idx'))
+def _so_shift_dtype() -> Optional[str]:
+    """Working precision of the second-order frequency-shift term.
+
+    float32 on the Ozaki/TPU path (where f64 is software-emulated and
+    the shift is a perturbatively small correction well inside the
+    1e-10 parity budget), full precision elsewhere.  Override with
+    FF_TPU_SO_DTYPE=float64|float32 (resolved eagerly per call and
+    passed as a static argument, like FF_TPU_OZAKI_CMUL).
+    """
+    mode = os.environ.get('FF_TPU_SO_DTYPE')
+    if mode:
+        return None if mode in ('float64', 'f64') else 'float32'
+    from . import config
+    return 'float32' if config.contraction_mode() == 'ozaki' else None
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('second_order', 'idx', 'so_dtype'))
 def _etm_core(p: PulseArrays, s, s_im, omega, tg, td,
-              second_order: bool, idx):
+              second_order: bool, idx, so_dtype=None):
     ham = ceinsum('jmn,jg->gmn', p.c_opers, p.c_coeffs)
     eigvals, eigvecs, propagators = numeric._diagonalize_jit(ham, p.dt)
     t = jnp.concatenate([jnp.zeros(1, p.dt.dtype), jnp.cumsum(p.dt)])
@@ -115,17 +134,48 @@ def _etm_core(p: PulseArrays, s, s_im, omega, tg, td,
     step = numeric._ctrlmat_step_contract(n_t, integral, b_t, ph)
     ctrl = step.sum(axis=0)
 
-    gamma_igrand = numeric._integrand_core(s, s_im, ctrl, None, idx,
-                                           'total', 'generalized')
-    gamma = util.integrate(gamma_igrand, omega) / (2 * np.pi)
+    idx_arr = jnp.asarray(np.asarray(idx))
+    if s_im is None and s.ndim <= 2:
+        # diagonal spectra: decay amplitudes with the trapezoid folded
+        # into one contraction -- no (a, k, l, omega) integrand tensor
+        ws_g = (s if s.ndim == 2
+                else jnp.broadcast_to(s, (len(idx), s.shape[-1])))
+        ws_g = ws_g * numeric.trapezoid_weights(omega) / (2 * np.pi)
+        ctrl_i = ctrl._map(lambda v: v[idx_arr])
+        gamma = ceinsum('ako,ao,alo->akl', ctrl_i.conj(), ws_g,
+                        ctrl_i).re
+    else:
+        gamma_igrand = numeric._integrand_core(s, s_im, ctrl, None, idx,
+                                               'total', 'generalized')
+        gamma = util.integrate(gamma_igrand, omega) / (2 * np.pi)
     k_fn = numeric._cumulant_contract_core(gamma, tg)
     if second_order:
         cumul = step.cumsum(axis=0)[:-1]
-        f2 = numeric._second_order_scan(eigvals, n_t, b_t, step, cumul,
-                                        omega, p.dt, False, False)[0]
-        delta_igrand = numeric._integrand_core(s, s_im, None, f2, idx,
-                                               'total', 'generalized')
-        delta = util.integrate(delta_igrand, omega) / (2 * np.pi)
+        f = eigvals.dtype
+        cum_pad = C(
+            jnp.concatenate([jnp.zeros((1,) + cumul.re.shape[1:], f),
+                             cumul.re]),
+            jnp.concatenate([jnp.zeros((1,) + cumul.im.shape[1:], f),
+                             cumul.im]))
+        if s_im is None and s.ndim <= 2:
+            # diagonal spectra: frequency shifts with the integral
+            # folded into the contractions -- the (a, b, k, l, omega)
+            # second-order filter function is never materialized
+            ws = (s if s.ndim == 2
+                  else jnp.broadcast_to(s, (len(idx), s.shape[-1])))
+            ws = ws * numeric.trapezoid_weights(omega) / (2 * np.pi)
+            delta = numeric._second_order_diag_shifts(
+                eigvals, n_t._map(lambda v: v[idx_arr]), b_t,
+                step._map(lambda v: v[:, idx_arr]),
+                cum_pad._map(lambda v: v[:, idx_arr]), omega, p.dt, ws,
+                dtype=so_dtype).re
+        else:
+            f2 = numeric._second_order_total(eigvals, n_t, b_t, step,
+                                             cum_pad, omega, p.dt)
+            delta_igrand = numeric._integrand_core(s, s_im, None, f2,
+                                                   idx, 'total',
+                                                   'generalized')
+            delta = util.integrate(delta_igrand, omega) / (2 * np.pi)
         k_fn = k_fn + numeric._cumulant_contract_core(delta, td)
     k_total = k_fn.sum(axis=tuple(range(k_fn.ndim - 2)))
     from .cplx import expm_real
@@ -150,17 +200,19 @@ def batched_error_transfer_matrix(p: PulseArrays, spectrum, omega,
     tg, td = numeric._cumulant_trace_combos(basis)
     return _etm_batched(p, s, s_im, jnp.asarray(omega), jnp.asarray(tg),
                         jnp.asarray(td) if second_order else None,
-                        second_order, tuple(range(n_nops)))
+                        second_order, tuple(range(n_nops)),
+                        _so_shift_dtype())
 
 
-@functools.partial(jax.jit, static_argnames=('second_order', 'idx'))
+@functools.partial(jax.jit,
+                   static_argnames=('second_order', 'idx', 'so_dtype'))
 def _etm_batched(p: PulseArrays, s, s_im, omega, tg, td,
-                 second_order: bool, idx):
+                 second_order: bool, idx, so_dtype=None):
     def single(c_coeffs, n_coeffs, dt):
         pa = PulseArrays(p.c_opers, c_coeffs, p.n_opers, n_coeffs, dt,
                          p.basis)
         return _etm_core.__wrapped__(pa, s, s_im, omega, tg, td,
-                                     second_order, idx)
+                                     second_order, idx, so_dtype)
     return jax.vmap(single)(p.c_coeffs, p.n_coeffs, p.dt)
 
 

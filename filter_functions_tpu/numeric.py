@@ -744,9 +744,11 @@ def _second_order_step_terms_jit(eigvals, eigvecs, propagators, omega,
 
 
 def _so_matmul(a: C, b: C) -> C:
-    """Batched complex matmul on the mode-selected path (Ozaki MXU on
-    TPU + x64, Gauss-3 ``jnp.matmul`` elsewhere)."""
-    if config.contraction_mode() == 'ozaki':
+    """Batched complex matmul on the mode-selected path: Ozaki MXU
+    slicing for emulated-f64 operands on TPU, native Gauss-3
+    ``jnp.matmul`` otherwise (f32 runs on the MXU directly)."""
+    if (a.re.dtype == jnp.float64
+            and config.contraction_mode() == 'ozaki'):
         from .ops.ozaki import ozaki_matmul_c
         re, im = ozaki_matmul_c(a.re, a.im, b.re, b.im)
         return C(re, im)
@@ -821,6 +823,102 @@ def _second_order_total(eigvals, n_opers_transformed, basis_transformed,
         n_nops, n_basis, n_w, n_nops, n_basis)._map(
         lambda v: v.transpose(0, 3, 1, 4, 2))             # (a,b,k,l,o)
     return incomplete + complete
+
+
+def trapezoid_weights(omega) -> jnp.ndarray:
+    """Quadrature weights w with sum_o w_o f_o == trapezoid(f, omega),
+    for folding frequency integrals into contractions."""
+    omega = jnp.asarray(omega)
+    d = jnp.diff(omega)
+    return jnp.concatenate([d[:1] / 2, (d[1:] + d[:-1]) / 2, d[-1:] / 2])
+
+
+def _second_order_diag_shifts(eigvals, n_opers_transformed,
+                              basis_transformed, ctrlmat_step,
+                              cumul_padded, omega, dt, weights,
+                              dtype=None) -> C:
+    r"""Frequency shifts Delta[a, k, l] for diagonal (ndim <= 2)
+    spectra with the spectrum x trapezoid weight folded into the
+    contractions.
+
+    For per-noise-operator spectra the K14 integrand only touches the
+    a == b diagonal of the second-order filter function
+    (reference /root/reference/filter_functions/numeric.py:1340-1410 via
+    the K12 dispatch), so the (a, b, k, l, omega) tensor is never
+    materialized: the incomplete-step stage-1 matmul T = I2 @ nob^T is
+    reused as in :func:`_second_order_total`, the omega reduction
+    happens on T (weighted by S_a(w) w_trapz), and the remaining
+    contractions are (a)-batched d^2 x d^2 matmuls.  The complete-steps
+    term contracts over (g, omega) jointly in one einsum.
+
+    weights: (n_nops, n_omega) real = S[a, o] * trapz_w[o] / (2 pi).
+    Returns C of shape (n_nops, n_basis, n_basis); take ``.re`` for
+    the physical shifts.
+
+    *dtype* selects the working precision of the incomplete-step
+    CONTRACTIONS (stage-1 matmul, weighted omega reduction, final
+    segment contraction).  The integral lattice itself always runs in
+    the input precision -- its y -> 0 limiting cases cancel
+    catastrophically below f64 -- but once the lattice values exist,
+    casting the matmul operands to float32 loses only ~1e-7 relative
+    with no cancellation, which enters the error transfer matrix as
+    ~1e-7 x |Delta| (well inside the 1e-10 parity budget) while the
+    matmuls run natively on the MXU instead of through Ozaki f64
+    slicing.  None keeps everything in the input dtype.
+    """
+    G, d = eigvals.shape
+    d2 = d * d
+    n_nops = n_opers_transformed.shape[0]
+    n_basis = basis_transformed.shape[1]
+    n_w = omega.shape[0]
+    A = n_nops * n_basis
+
+    nob = ceinsum('agij,gkji->gakij', n_opers_transformed,
+                  basis_transformed).reshape(G, A, d2)
+
+    # complete steps: contract over (g, omega) jointly, weight folded
+    comp = ceinsum('gako,ao,galo->akl',
+                   ctrlmat_step.conj().reshape(G, n_nops, n_basis, n_w),
+                   jnp.asarray(weights),
+                   cumul_padded.reshape(G, n_nops, n_basis, n_w))
+
+    # incomplete steps, chunked over g as in _second_order_total
+    f_in = eigvals.dtype
+    f_mm = jnp.dtype(dtype) if dtype is not None else f_in
+    weights_mm = jnp.asarray(weights).astype(f_mm)
+
+    def to_mm(x):
+        return x if f_mm == f_in else C(x.re.astype(f_mm),
+                                        x.im.astype(f_mm))
+
+    per_g = n_w * d2 * d2 * 16
+    gc = max(1, min(G, config.memory_budget() // max(per_g, 1)))
+    n_chunks = -(-G // gc)
+    inc = None
+    with jax.default_matmul_precision('highest'):
+        for c in range(n_chunks):
+            sl = slice(c * gc, min((c + 1) * gc, G))
+            g_here = sl.stop - sl.start
+            # lattice in full precision (cancellation-sensitive), then
+            # cast the contraction operands to the matmul dtype
+            int2 = jax.vmap(_second_order_integral_single,
+                            in_axes=(None, 0, 0))(omega, eigvals[sl],
+                                                  dt[sl])
+            i2 = to_mm(int2.reshape(g_here, n_w * d2, d2))
+            nob_c = to_mm(nob[sl])
+            nob_t = nob_c._map(lambda v: v.swapaxes(-1, -2))
+            t = _so_matmul(i2, nob_t)                      # (g, o*d2, A)
+            # weighted omega reduction on T, selecting b == a columns
+            t5 = t.reshape(g_here, n_w, d2, n_nops, n_basis)
+            t2 = t5._map(lambda v: jnp.einsum('goial,ao->agil', v,
+                                              weights_mm))
+            term = ceinsum('gakm,agml->akl',
+                           nob_c.reshape(g_here, n_nops, n_basis, d2),
+                           t2)
+            inc = term if inc is None else inc + term
+    if f_mm != f_in:
+        inc = C(inc.re.astype(f_in), inc.im.astype(f_in))
+    return inc + comp
 
 
 @functools.partial(jax.jit,
