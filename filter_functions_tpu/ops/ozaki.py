@@ -23,10 +23,12 @@ The slice width therefore adapts to the reduction depth:
 ``slice_bits = (24 - ceil(log2 K)) // 2`` (8 bits up to K = 256, 6
 bits up to K = 4096, ...).  ``precision_bits`` selects the truncation
 level L: the neglected pairs contribute < 2^-precision_bits relative
-to the row*column magnitude.  30 bits is the default: measured
-infidelity parity vs the reference is ~5e-13 after integral averaging
-(200x inside the 1e-10 parity budget) at 15 slice-pair products per
-matmul; 36/42 bits trade ~40%/90% more MXU products for 2/4 digits.
+to the row*column magnitude.  24 bits is the default: measured
+flagship infidelity parity vs the reference is 5.1e-11 after integral
+averaging -- inside the 1e-10 parity contract -- at 15 slice-pair
+products per matmul; FF_TPU_OZAKI_BITS=30/36/42 trades ~40%/100%/170%
+more MXU products for 2/4/6 extra digits (30 bits measured 4.9e-13
+parity at 21 pairs, +13% flagship runtime).
 """
 from __future__ import annotations
 
@@ -43,7 +45,7 @@ import os
 __all__ = ['ozaki_matmul', 'ozaki_matmul_c', 'DEFAULT_PRECISION_BITS']
 
 #: Truncation level; override with FF_TPU_OZAKI_BITS.
-DEFAULT_PRECISION_BITS = int(os.environ.get('FF_TPU_OZAKI_BITS', '30'))
+DEFAULT_PRECISION_BITS = int(os.environ.get('FF_TPU_OZAKI_BITS', '24'))
 #: f32 accumulator mantissa budget.
 _ACC_BITS = 24
 #: bf16 holds integers up to 2^8 exactly.
@@ -65,9 +67,6 @@ def _slice_fixed_point(x: jnp.ndarray, axis: int, n_slices: int,
     absmax = jnp.max(jnp.abs(x), axis=axis, keepdims=True)
     exp = jnp.ceil(jnp.log2(jnp.where(absmax > 0, absmax, 1.0)))
     scale = jnp.exp2(exp - slice_bits)
-    # multiply by the exact power-of-two reciprocal: an emulated-f64
-    # divide costs several times an emulated multiply on TPU
-    y = x * jnp.exp2(jnp.asarray(slice_bits, x.dtype) - exp)
     total_bits = n_slices * slice_bits
     if total_bits <= 30:
         int_dtype = jnp.int32
@@ -77,10 +76,15 @@ def _slice_fixed_point(x: jnp.ndarray, axis: int, n_slices: int,
     else:
         int_dtype = None
     if int_dtype is not None:
-        # |y| <= 2^slice_bits, so z = round(y * 2^(bits*(n-1))) fits in
-        # total_bits + 1 bits (exact in f64 for total_bits <= 52)
-        z = jnp.round(y * float(2**(slice_bits * (n_slices - 1)))
-                      ).astype(int_dtype)
+        # |x / 2^(exp - slice_bits)| <= 2^slice_bits, so
+        # z = round(x * 2^(bits * n - exp)) fits total_bits + 1 bits
+        # (exact in f64 for total_bits <= 52).  ONE fused
+        # multiply-by-power-of-two per element -- emulated-f64
+        # elementwise work is the slicing bottleneck on TPU (an
+        # emulated divide would cost several times more again).
+        z = jnp.round(
+            x * jnp.exp2(jnp.asarray(slice_bits * n_slices, x.dtype)
+                         - exp)).astype(int_dtype)
         slices = []
         for k in range(n_slices - 1, 0, -1):
             shift = slice_bits * k
@@ -90,6 +94,7 @@ def _slice_fixed_point(x: jnp.ndarray, axis: int, n_slices: int,
             z = z - (d << shift)
         slices.append(z.astype(jnp.bfloat16))
         return slices, scale
+    y = x * jnp.exp2(jnp.asarray(slice_bits, x.dtype) - exp)
     slices = []
     for _ in range(n_slices):
         s = jnp.round(y)

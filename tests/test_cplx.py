@@ -232,10 +232,11 @@ class TestOzaki:
                                                     ozaki_matmul)
         a = jnp.asarray(rng.standard_normal((6, 12)))
         b = jnp.asarray(rng.standard_normal((12, 5)))
-        g = jax.grad(lambda a: (ozaki_matmul(a, b)**2).sum())(a)
+        g = jax.grad(lambda a: (ozaki_matmul(a, b, 30)**2).sum())(a)
         want = 2 * (np.asarray(a) @ np.asarray(b)) @ np.asarray(b).T
-        assert_allclose(np.asarray(g), want,
-                        rtol=2**-DEFAULT_PRECISION_BITS * 64, atol=1e-9)
+        # explicit 30-bit precision: this test pins the custom-VJP
+        # machinery, not the (performance-tuned) default truncation
+        assert_allclose(np.asarray(g), want, rtol=2**-30 * 64, atol=1e-9)
 
     def test_contraction_mode_equivalence(self):
         """The ozaki control-matrix path equals the native einsum."""
@@ -256,7 +257,12 @@ class TestOzaki:
                 os.environ.pop('FF_TPU_CONTRACT', None)
             else:
                 os.environ['FF_TPU_CONTRACT'] = old
-        np.testing.assert_allclose(oz, native, atol=1e-12)
+        from filter_functions_tpu.ops.ozaki import DEFAULT_PRECISION_BITS
+        # tolerance tracks the default truncation level; the 1e-10
+        # application contract is pinned by the integral-averaged
+        # infidelity parity tests (test_precision.py)
+        np.testing.assert_allclose(oz, native,
+                                   atol=2**-DEFAULT_PRECISION_BITS * 16)
 
 
 class TestExpmReal:
@@ -306,7 +312,9 @@ def test_ozaki_cmul_variants_agree(monkeypatch):
     one fewer slicing, one more matmul set -- measured slower on the
     flagship, kept as a documented experiment) matches Gauss-3."""
     import os
-    from filter_functions_tpu.ops.ozaki import ozaki_matmul_c
+    from filter_functions_tpu.ops.ozaki import (DEFAULT_PRECISION_BITS,
+                                                ozaki_matmul_c)
+    tol_bits = DEFAULT_PRECISION_BITS - 2
     local = np.random.default_rng(8)
     # NOTE: the env var is read at trace time, so the variant call must
     # use shapes not yet in the jit cache.
@@ -316,7 +324,7 @@ def test_ozaki_cmul_variants_agree(monkeypatch):
     want = a @ b
     scale = np.abs(np.abs(a) @ np.abs(b)).max()
     assert np.abs(np.asarray(g_re) + 1j*np.asarray(g_im) - want).max() \
-        < 2**-28 * scale
+        < 2**-tol_bits * scale
 
     monkeypatch.setenv('FF_TPU_OZAKI_CMUL', '4')
     # The env var is resolved eagerly per call and passed as a static
@@ -325,11 +333,11 @@ def test_ozaki_cmul_variants_agree(monkeypatch):
     # read at trace time and silently ignored after the first compile).
     f_re, f_im = ozaki_matmul_c(a.real, a.imag, b.real, b.imag)
     assert np.abs(np.asarray(f_re) + 1j*np.asarray(f_im) - want).max() \
-        < 2**-28 * scale
+        < 2**-tol_bits * scale
     a = local.standard_normal((80, 56)) + 1j * local.standard_normal((80, 56))
     b = local.standard_normal((56, 40)) + 1j * local.standard_normal((56, 40))
     f_re, f_im = ozaki_matmul_c(a.real, a.imag, b.real, b.imag)
     want = a @ b
     scale = np.abs(np.abs(a) @ np.abs(b)).max()
     assert np.abs(np.asarray(f_re) + 1j*np.asarray(f_im) - want).max() \
-        < 2**-28 * scale
+        < 2**-tol_bits * scale
