@@ -181,6 +181,33 @@ def contraction_mode() -> str:
     return 'native'
 
 
+def ozaki_operand_dtype(which: str = 'P'):
+    """Element dtype in which the Ozaki matmul operand lattices are
+    assembled on TPU ('P' the frequency-dependent tensor, 'D' the
+    frequency-independent one).
+
+    f32 assembly runs natively on the VPU instead of through f64
+    emulation, at ~2^-24 relative element rounding.  Those rounding
+    errors grow through the K-deep reduction (measured: full-f32
+    operands take the flagship parity from 5.1e-11 to 1.26e-9 at a
+    34% speedup), so the default is conservative: P-only f32 -- its
+    per-frequency errors average incoherently in the spectral
+    integral -- and f64 for D, whose errors are shared by every
+    frequency.  FF_TPU_OZAKI_OPERANDS=f64|f32|split overrides
+    (f64: all full precision; f32: everything fast; split: the
+    default).
+    """
+    mode = os.environ.get('FF_TPU_OZAKI_OPERANDS', 'split')
+    if mode in ('f32', 'float32'):
+        return jnp.float32
+    if mode in ('f64', 'float64'):
+        return jnp.float64
+    from .ops.ozaki import DEFAULT_PRECISION_BITS
+    if DEFAULT_PRECISION_BITS > 24:
+        return jnp.float64
+    return jnp.float32 if which == 'P' else jnp.float64
+
+
 def supports_native_complex() -> bool:
     """True if the default backend supports the native complex dtype.
 

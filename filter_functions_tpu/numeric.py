@@ -349,13 +349,27 @@ def _ctrlmat_contract(n_opers_transformed, integral, basis_transformed,
     G, n_w, d, _ = integral.shape
     n_nops = n_opers_transformed.shape[0]
     n_basis = basis_transformed.shape[1]
+    # Assemble the operand lattices in the truncation-matched dtype
+    # (config.ozaki_operand_dtype): at <= 24-bit slicing, f32 assembly
+    # runs natively on the VPU and adds nothing below the truncation
+    # floor, removing the f64-emulated elementwise build cost.
+    f_p = config.ozaki_operand_dtype('P')
+    f_d = config.ozaki_operand_dtype('D')
+
+    def cast(x: C, f_op) -> C:
+        return x if x.re.dtype == f_op else C(x.re.astype(f_op),
+                                              x.im.astype(f_op))
+
+    f64 = integral.re.dtype
+    integral = cast(integral, f_p)
+    phase_factors = cast(phase_factors, f_p)
     # P[g, o, m*n] = phase[g, o] * I[g, o, m, n]
     p_mat = (integral * phase_factors[:, :, None, None]).reshape(
         G, n_w, d * d)
     # D[g, m*n, j*k] = B[j, g, m, n] * C[g, k, n, m]
-    b_t = n_opers_transformed._map(
+    b_t = cast(n_opers_transformed, f_d)._map(
         lambda x: x.transpose(1, 2, 3, 0))                 # (g, m, n, j)
-    c_t = basis_transformed._map(
+    c_t = cast(basis_transformed, f_d)._map(
         lambda x: x.transpose(0, 3, 2, 1))                 # (g, m, n, k)
     d_mat = (b_t[..., :, None] * c_t[..., None, :]).reshape(
         G, d * d, n_nops * n_basis)
@@ -369,7 +383,8 @@ def _ctrlmat_contract(n_opers_transformed, integral, basis_transformed,
 
     out_re, out_im = ozaki_matmul_c(p_big.re, p_big.im,
                                     d_big.re, d_big.im)
-    out = C(out_re, out_im).reshape(n_w, n_nops, n_basis)
+    out = C(out_re.astype(f64), out_im.astype(f64)).reshape(
+        n_w, n_nops, n_basis)
     return out._map(lambda x: x.transpose(1, 2, 0))        # (j, k, o)
 
 
@@ -390,17 +405,28 @@ def _ctrlmat_step_contract(n_opers_transformed, integral, basis_transformed,
     G, n_w, d, _ = integral.shape
     n_nops = n_opers_transformed.shape[0]
     n_basis = basis_transformed.shape[1]
+    f_p = config.ozaki_operand_dtype('P')
+    f_d = config.ozaki_operand_dtype('D')
+
+    def cast(x: C, f_op) -> C:
+        return x if x.re.dtype == f_op else C(x.re.astype(f_op),
+                                              x.im.astype(f_op))
+
+    f64 = integral.re.dtype
+    integral = cast(integral, f_p)
+    phase_factors = cast(phase_factors, f_p)
     p_mat = (integral * phase_factors[:, :, None, None]).reshape(
         G, n_w, d * d)
-    b_t = n_opers_transformed._map(
+    b_t = cast(n_opers_transformed, f_d)._map(
         lambda x: x.transpose(1, 2, 3, 0))                 # (g, m, n, j)
-    c_t = basis_transformed._map(
+    c_t = cast(basis_transformed, f_d)._map(
         lambda x: x.transpose(0, 3, 2, 1))                 # (g, m, n, k)
     d_mat = (b_t[..., :, None] * c_t[..., None, :]).reshape(
         G, d * d, n_nops * n_basis)
     out_re, out_im = ozaki_matmul_c(p_mat.re, p_mat.im,
                                     d_mat.re, d_mat.im)
-    out = C(out_re, out_im).reshape(G, n_w, n_nops, n_basis)
+    out = C(out_re.astype(f64), out_im.astype(f64)).reshape(
+        G, n_w, n_nops, n_basis)
     return out._map(lambda x: x.transpose(0, 2, 3, 1))    # (g, j, k, o)
 
 
