@@ -208,6 +208,14 @@ def ozaki_operand_dtype(which: str = 'P'):
     return jnp.float32 if which == 'P' else jnp.float64
 
 
+def ozaki_factored() -> bool:
+    """Whether the control-matrix contraction may form the D operand's
+    digit slices by native int32 factor arithmetic
+    (ops/ozaki.ozaki_matmul_c_outer) instead of assembling D in
+    emulated f64.  Disable with FF_TPU_OZAKI_FACTORED=0."""
+    return os.environ.get('FF_TPU_OZAKI_FACTORED', '1') != '0'
+
+
 def supports_native_complex() -> bool:
     """True if the default backend supports the native complex dtype.
 

@@ -353,7 +353,13 @@ def _ctrlmat_contract(n_opers_transformed, integral, basis_transformed,
     # (config.ozaki_operand_dtype): at <= 24-bit slicing, f32 assembly
     # runs natively on the VPU and adds nothing below the truncation
     # floor, removing the f64-emulated elementwise build cost.
-    f_p = config.ozaki_operand_dtype('P')
+    from .ops.ozaki import DEFAULT_PRECISION_BITS, _slice_params
+    sb, _ = _slice_params(G * d * d, DEFAULT_PRECISION_BITS)
+    # f32 operand assembly only while the reduction is shallow enough
+    # that the 2^-24 element rounding stays below the slice-truncation
+    # floor (K <= 16384, i.e. slice width >= 5 bits); deep reductions
+    # amplify operand noise by sqrt(K) and get full-precision assembly.
+    f_p = config.ozaki_operand_dtype('P') if sb >= 5 else jnp.float64
     f_d = config.ozaki_operand_dtype('D')
 
     def cast(x: C, f_op) -> C:
@@ -366,23 +372,38 @@ def _ctrlmat_contract(n_opers_transformed, integral, basis_transformed,
     # P[g, o, m*n] = phase[g, o] * I[g, o, m, n]
     p_mat = (integral * phase_factors[:, :, None, None]).reshape(
         G, n_w, d * d)
-    # D[g, m*n, j*k] = B[j, g, m, n] * C[g, k, n, m]
-    b_t = cast(n_opers_transformed, f_d)._map(
-        lambda x: x.transpose(1, 2, 3, 0))                 # (g, m, n, j)
-    c_t = cast(basis_transformed, f_d)._map(
-        lambda x: x.transpose(0, 3, 2, 1))                 # (g, m, n, k)
-    d_mat = (b_t[..., :, None] * c_t[..., None, :]).reshape(
-        G, d * d, n_nops * n_basis)
-
     # Fold the segment sum into the reduction axis: one matmul with
     # K = G * d^2 (ozaki_matmul adapts its slice width to K and splits
     # reductions deeper than 2^16 into exact sub-reductions).
     p_big = p_mat._map(
         lambda x: x.transpose(1, 0, 2).reshape(n_w, G * d * d))
-    d_big = d_mat.reshape(G * d * d, n_nops * n_basis)
-
-    out_re, out_im = ozaki_matmul_c(p_big.re, p_big.im,
-                                    d_big.re, d_big.im)
+    if sb in (5, 6) and config.ozaki_factored():
+        # D[(g mn), (j k)] = B[j,g,mn] * C[g,k,nm] is a row-wise outer
+        # product: form its digit slices in native int32 from fixed-
+        # point factors instead of assembling the (K, n_nops*n_basis)
+        # complex tensor in emulated f64 (ops/ozaki.py
+        # ozaki_matmul_c_outer -- the dominant non-MXU cost of the
+        # flagship pipeline).
+        from .ops.ozaki import ozaki_matmul_c_outer
+        b_fac = n_opers_transformed._map(
+            lambda x: x.transpose(1, 2, 3, 0).reshape(G * d * d,
+                                                      n_nops))
+        c_fac = basis_transformed._map(
+            lambda x: x.transpose(0, 3, 2, 1).reshape(G * d * d,
+                                                      n_basis))
+        out_re, out_im = ozaki_matmul_c_outer(
+            p_big.re, p_big.im, b_fac.re, b_fac.im, c_fac.re, c_fac.im)
+    else:
+        # D[g, m*n, j*k] = B[j, g, m, n] * C[g, k, n, m]
+        b_t = cast(n_opers_transformed, f_d)._map(
+            lambda x: x.transpose(1, 2, 3, 0))             # (g, m, n, j)
+        c_t = cast(basis_transformed, f_d)._map(
+            lambda x: x.transpose(0, 3, 2, 1))             # (g, m, n, k)
+        d_mat = (b_t[..., :, None] * c_t[..., None, :]).reshape(
+            G, d * d, n_nops * n_basis)
+        d_big = d_mat.reshape(G * d * d, n_nops * n_basis)
+        out_re, out_im = ozaki_matmul_c(p_big.re, p_big.im,
+                                        d_big.re, d_big.im)
     out = C(out_re.astype(f64), out_im.astype(f64)).reshape(
         n_w, n_nops, n_basis)
     return out._map(lambda x: x.transpose(1, 2, 0))        # (j, k, o)
@@ -405,7 +426,10 @@ def _ctrlmat_step_contract(n_opers_transformed, integral, basis_transformed,
     G, n_w, d, _ = integral.shape
     n_nops = n_opers_transformed.shape[0]
     n_basis = basis_transformed.shape[1]
-    f_p = config.ozaki_operand_dtype('P')
+    from .ops.ozaki import DEFAULT_PRECISION_BITS, _slice_params
+    sb_step, _ = _slice_params(d * d, DEFAULT_PRECISION_BITS)
+    f_p = config.ozaki_operand_dtype('P') if sb_step >= 5 \
+        else jnp.float64
     f_d = config.ozaki_operand_dtype('D')
 
     def cast(x: C, f_op) -> C:

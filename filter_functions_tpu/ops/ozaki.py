@@ -297,6 +297,165 @@ def _ozaki_matmul_c_impl(a_re, a_im, b_re, b_im,
     return p1 - p2, p3 - p1 - p2
 
 
+# -----------------------------------------------------------------------------
+# Factored-operand complex matmul: P @ (B (*) C) with the product
+# operand's digit slices formed in native int32 arithmetic
+# -----------------------------------------------------------------------------
+def _int_fixed_point(x, axis, bits: int):
+    """Signed int32 fixed point per slice of *axis* with a
+    power-of-two scale: x ~= z * 2^(e - bits), |z| <= 2^bits."""
+    absmax = jnp.max(jnp.abs(x), axis=axis, keepdims=True)
+    e = jnp.ceil(jnp.log2(jnp.where(absmax > 0, absmax, 1.0)))
+    z = jnp.round(x * jnp.exp2(bits - e)).astype(jnp.int32)
+    return z, e
+
+
+def _split12(z):
+    """z = hi * 2^12 + lo with |hi| <= 2^11 + 1, |lo| <= 2^11
+    (round-to-nearest split of a <= 23-bit signed int)."""
+    hi = (z + (1 << 11)) >> 12
+    return hi, z - (hi << 12)
+
+
+def _outer_word(b1, b0, c1, c0):
+    """Top-30-bit word W ~= (zB * zC) / 2^18 of the outer product of
+    22-bit fixed-point columns, entirely in native int32: the 48-bit
+    product zB*zC = p2*2^24 + p1*2^12 + p0 never materializes; the
+    dropped tail is < 2^-25 of the product scale."""
+    p2 = b1[..., :, None] * c1[..., None, :]
+    p1 = b1[..., :, None] * c0[..., None, :] \
+        + b0[..., :, None] * c1[..., None, :]
+    p0 = b0[..., :, None] * c0[..., None, :]
+    return (p2 << 6) + ((p1 + ((p0 + (1 << 11)) >> 12) + (1 << 5)) >> 6)
+
+
+def _peel_int(v, n_slices: int, slice_bits: int):
+    """bf16 digit slices (high first) of an int32 v with
+    |v| < 2^(n_slices * slice_bits), round-half-up cascade."""
+    slices = []
+    z = v
+    for k in range(n_slices - 1, 0, -1):
+        shift = slice_bits * k
+        half = jnp.asarray(1 << (shift - 1), jnp.int32)
+        d = (z + half) >> shift
+        slices.append(d.astype(jnp.bfloat16))
+        z = z - (d << shift)
+    slices.append(z.astype(jnp.bfloat16))
+    return slices
+
+
+@functools.partial(jax.jit, static_argnames=('precision_bits',))
+def ozaki_matmul_c_outer(p_re, p_im, b_re, b_im, c_re, c_im,
+                         precision_bits: int = DEFAULT_PRECISION_BITS):
+    r"""Complex ``P @ D`` where ``D[k, (j c)] = B[k, j] * C[k, c]`` is
+    a row-wise outer product (the control-matrix D lattice,
+    numeric._ctrlmat_contract), WITHOUT ever assembling D in float.
+
+    B and C are converted to 22-bit int32 fixed point per column
+    (tiny tensors), and D's bf16 digit slices are produced by native
+    int32 outer-product arithmetic (12-bit factor splits, 30-bit top
+    words, round-half-up digit peel) -- the f64-emulated elementwise
+    build and slicing of the (K x J*C) product tensor, measured as the
+    dominant non-MXU cost of the flagship pipeline, disappears.
+    Effective D precision is ~23 bits per factor (~25 of the product)
+    below the column scales, matching the standard 24-bit path.
+
+    P: (M, K) split re/im (any float dtype); B: (K, J); C: (K, Cc).
+    Returns (re, im) of shape (M, J * Cc) in f64.  Requires the
+    K-adapted slice width to be 5 or 6 bits (256 < K <= 16384); the
+    caller falls back to :func:`ozaki_matmul_c` otherwise.
+    """
+    K = p_re.shape[-1]
+    slice_bits, n_p = _slice_params(K, precision_bits)
+    if slice_bits not in (5, 6):
+        raise ValueError('factored path requires slice_bits in (5, 6), '
+                         f'got {slice_bits} for K={K}')
+    n_d = 30 // slice_bits
+
+    # P side: standard slicing (f32 assembly upstream)
+    pr_sl, pr_sc = _slice_fixed_point(p_re, -1, n_p, slice_bits)
+    pi_sl, pi_sc = _slice_fixed_point(p_im, -1, n_p, slice_bits)
+    ps_sl, ps_sc = _slice_fixed_point(p_re + p_im, -1, n_p, slice_bits)
+
+    # factor side: shared 23-bit fixed point per column (one scale per
+    # column covering both re and im so sums stay consistent; 23 bits
+    # is the int32 headroom limit: the 12-bit-split products reach
+    # 2^28 after the word shift, their differences 2^29, and the Gauss
+    # sum component 2^30 < 2^31)
+    def fix(re, im):
+        absmax = jnp.maximum(jnp.max(jnp.abs(re), axis=0),
+                             jnp.max(jnp.abs(im), axis=0))
+        e = jnp.ceil(jnp.log2(jnp.where(absmax > 0, absmax, 1.0)))
+        zr = jnp.round(re * jnp.exp2(23 - e)[None]).astype(jnp.int32)
+        zi = jnp.round(im * jnp.exp2(23 - e)[None]).astype(jnp.int32)
+        return zr, zi, e
+
+    zbr, zbi, eb = fix(b_re, b_im)
+    zcr, zci, ec = fix(c_re, c_im)
+    sb1, sb0 = _split12(zbr)
+    si1, si0 = _split12(zbi)
+    sc1, sc0 = _split12(zcr)
+    sd1, sd0 = _split12(zci)
+
+    # W ~= (zB zC)/2^18; complex components via 4 outer words
+    w_rr = _outer_word(sb1, sb0, sc1, sc0)
+    w_ii = _outer_word(si1, si0, sd1, sd0)
+    w_ri = _outer_word(sb1, sb0, sd1, sd0)
+    w_ir = _outer_word(si1, si0, sc1, sc0)
+    d_comps = (w_rr - w_ii,                 # Dr * 2^(28 - eB - eC)
+               w_ri + w_ir,                 # Di
+               (w_rr - w_ii) + (w_ri + w_ir))   # Dr + Di (Gauss)
+
+    M = p_re.shape[-2]
+    J, Cc = b_re.shape[-1], c_re.shape[-1]
+    ndim = p_re.ndim
+    e_bc = (eb[..., :, None] + ec[..., None, :]).reshape(
+        *eb.shape[:-1], J * Cc)
+
+    outs = []
+    for w in d_comps:
+        w = w.reshape(*w.shape[:-2], J * Cc)
+        # per-column normalization to the 30-bit digit budget
+        colmax = jnp.max(jnp.abs(w), axis=-2, keepdims=False)
+        nbits = n_d * slice_bits
+        # bit length via float log2 (exact for int32 magnitudes)
+        e_w = jnp.ceil(jnp.log2(jnp.maximum(colmax, 1).astype(
+            jnp.float64))).astype(jnp.int32)
+        lshift = jnp.maximum(nbits - 1 - e_w, 0)
+        v = w << lshift[..., None, :]
+        d_sl = _peel_int(v, n_d, slice_bits)
+        # scale: D = v * 2^(eB + eC - 28 - lshift); digit expansion
+        # v = 2^(nbits - slice_bits) * sum_s d_s 2^(-slice_bits s)
+        d_sc = jnp.exp2((e_bc - 28 - lshift
+                         + (nbits - slice_bits)).astype(jnp.float64)
+                        )[..., None, :]
+        outs.append((d_sl, d_sc))
+
+    def mm(a_sl, a_sc, d):
+        d_sl, d_sc = d
+        n = min(len(a_sl), len(d_sl))
+        batch = tuple(range(ndim - 2))
+        dims = (((ndim - 1,), (ndim - 2,)), (batch, batch))
+        out = None
+        for s in range(n):
+            level = None
+            for i in range(s + 1):
+                prod = jax.lax.dot_general(
+                    a_sl[i], d_sl[s - i], dimension_numbers=dims,
+                    preferred_element_type=jnp.float32
+                ).astype(jnp.float64)
+                level = prod if level is None else level + prod
+            term = level * (2.0 ** (-slice_bits * s))
+            out = term if out is None else out + term
+        return out * a_sc * d_sc
+
+    p1 = mm(pr_sl, pr_sc, outs[0])
+    p2 = mm(pi_sl, pi_sc, outs[1])
+    p3 = mm(ps_sl, ps_sc, outs[2])
+    # Gauss: re = Pr Dr - Pi Di; im = (Pr+Pi)(Dr+Di) - p1 - p2
+    return p1 - p2, p3 - p1 - p2
+
+
 def _ozaki_c_fwd(a_re, a_im, b_re, b_im, precision_bits):
     return (_ozaki_matmul_c_impl(a_re, a_im, b_re, b_im, precision_bits,
                                  _cmul_mode()),
