@@ -422,33 +422,29 @@ def _ctrlmat_step_contract(n_opers_transformed, integral, basis_transformed,
         return ceinsum('go,jgmn,gomn,gknm->gjko', phase_factors,
                        n_opers_transformed, integral, basis_transformed)
 
-    from .ops.ozaki import ozaki_matmul_c
+    from .ops.ozaki import DEFAULT_PRECISION_BITS, ozaki_matmul_c
     G, n_w, d, _ = integral.shape
     n_nops = n_opers_transformed.shape[0]
     n_basis = basis_transformed.shape[1]
-    from .ops.ozaki import DEFAULT_PRECISION_BITS, _slice_params
-    sb_step, _ = _slice_params(d * d, DEFAULT_PRECISION_BITS)
-    f_p = config.ozaki_operand_dtype('P') if sb_step >= 5 \
-        else jnp.float64
-    f_d = config.ozaki_operand_dtype('D')
-
-    def cast(x: C, f_op) -> C:
-        return x if x.re.dtype == f_op else C(x.re.astype(f_op),
-                                              x.im.astype(f_op))
-
+    # Per-step control matrices feed the decay-amplitude and
+    # second-order machinery, whose errors do not enjoy the flagship's
+    # 1000-frequency integral averaging: keep full-precision assembly
+    # and at least 30-bit truncation here (measured: letting the
+    # 24-bit performance default through moved the error-transfer-
+    # matrix parity from 3e-11 to 5.7e-10).  This contract is far off
+    # the hot path (~0.6 ms marginal per batched ETM call).
     f64 = integral.re.dtype
-    integral = cast(integral, f_p)
-    phase_factors = cast(phase_factors, f_p)
     p_mat = (integral * phase_factors[:, :, None, None]).reshape(
         G, n_w, d * d)
-    b_t = cast(n_opers_transformed, f_d)._map(
+    b_t = n_opers_transformed._map(
         lambda x: x.transpose(1, 2, 3, 0))                 # (g, m, n, j)
-    c_t = cast(basis_transformed, f_d)._map(
+    c_t = basis_transformed._map(
         lambda x: x.transpose(0, 3, 2, 1))                 # (g, m, n, k)
     d_mat = (b_t[..., :, None] * c_t[..., None, :]).reshape(
         G, d * d, n_nops * n_basis)
     out_re, out_im = ozaki_matmul_c(p_mat.re, p_mat.im,
-                                    d_mat.re, d_mat.im)
+                                    d_mat.re, d_mat.im,
+                                    max(30, DEFAULT_PRECISION_BITS))
     out = C(out_re.astype(f64), out_im.astype(f64)).reshape(
         G, n_w, n_nops, n_basis)
     return out._map(lambda x: x.transpose(0, 2, 3, 1))    # (g, j, k, o)
