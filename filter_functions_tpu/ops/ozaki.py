@@ -23,12 +23,12 @@ The slice width therefore adapts to the reduction depth:
 ``slice_bits = (24 - ceil(log2 K)) // 2`` (8 bits up to K = 256, 6
 bits up to K = 4096, ...).  ``precision_bits`` selects the truncation
 level L: the neglected pairs contribute < 2^-precision_bits relative
-to the row*column magnitude.  24 bits is the default: measured
-flagship infidelity parity vs the reference is 5.1e-11 after integral
-averaging -- inside the 1e-10 parity contract -- at 15 slice-pair
-products per matmul; FF_TPU_OZAKI_BITS=30/36/42 trades ~40%/100%/170%
-more MXU products for 2/4/6 extra digits (30 bits measured 4.9e-13
-parity at 21 pairs, +13% flagship runtime).
+to the row*column magnitude.  The default is depth-adaptive: 30 bits
+in general (measured flagship parity 4.9e-13), 24 bits for the
+deep-reduction control-matrix contraction (K > 1024) where the
+many-sample frequency integral averages the truncation noise
+(measured flagship infidelity parity 8.3e-11 at -13% runtime);
+FF_TPU_OZAKI_BITS / FF_TPU_OZAKI_BITS_DEEP override either level.
 """
 from __future__ import annotations
 
@@ -45,7 +45,15 @@ import os
 __all__ = ['ozaki_matmul', 'ozaki_matmul_c', 'DEFAULT_PRECISION_BITS']
 
 #: Truncation level; override with FF_TPU_OZAKI_BITS.
-DEFAULT_PRECISION_BITS = int(os.environ.get('FF_TPU_OZAKI_BITS', '24'))
+DEFAULT_PRECISION_BITS = int(os.environ.get('FF_TPU_OZAKI_BITS', '30'))
+#: Truncation level of the DEEP-reduction control-matrix contraction
+#: (K > 1024: large-d pulses / long trains, whose results feed
+#: many-sample frequency integrals that average the truncation noise;
+#: measured flagship infidelity parity 8.3e-11).  Shallow contractions
+#: keep DEFAULT_PRECISION_BITS (raw small-d filter functions stay at
+#: reference-level parity).  Override with FF_TPU_OZAKI_BITS_DEEP.
+DEEP_PRECISION_BITS = int(os.environ.get('FF_TPU_OZAKI_BITS_DEEP',
+                                         '24'))
 #: f32 accumulator mantissa budget.
 _ACC_BITS = 24
 #: bf16 holds integers up to 2^8 exactly.
