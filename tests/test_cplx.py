@@ -341,3 +341,61 @@ def test_ozaki_cmul_variants_agree(monkeypatch):
     scale = np.abs(np.abs(a) @ np.abs(b)).max()
     assert np.abs(np.asarray(f_re) + 1j*np.asarray(f_im) - want).max() \
         < 2**-tol_bits * scale
+
+
+class TestOzakiFactored:
+    """ops.ozaki.ozaki_matmul_c_outer: the factored-operand complex
+    matmul whose D = B (*) C digit slices come from native int32
+    arithmetic (the flagship deep-reduction fast path)."""
+
+    def _case(self, K, M=40, J=3, Cc=16, seed=0):
+        local = np.random.default_rng(seed)
+        P = local.standard_normal((M, K)) + 1j * local.standard_normal(
+            (M, K))
+        B = local.standard_normal((K, J)) + 1j * local.standard_normal(
+            (K, J))
+        Cm = local.standard_normal((K, Cc)) + 1j * local.standard_normal(
+            (K, Cc))
+        # exercise the per-column power-of-two scale tracking
+        B *= np.exp2(local.integers(-8, 8, (1, J)))
+        Cm *= np.exp2(local.integers(-8, 8, (1, Cc)))
+        return P, B, Cm
+
+    @pytest.mark.parametrize('K', [2048, 3328, 8192])
+    def test_accuracy(self, K):
+        from filter_functions_tpu.ops.ozaki import ozaki_matmul_c_outer
+        P, B, Cm = self._case(K)
+        D = (B[:, :, None] * Cm[:, None, :]).reshape(K, -1)
+        want = P @ D
+        re, im = ozaki_matmul_c_outer(
+            jnp.asarray(P.real), jnp.asarray(P.imag),
+            jnp.asarray(B.real), jnp.asarray(B.imag),
+            jnp.asarray(Cm.real), jnp.asarray(Cm.imag))
+        got = np.asarray(re) + 1j * np.asarray(im)
+        scale = (np.abs(P) @ np.abs(D)).max()
+        assert np.abs(got - want).max() / scale < 2**-22
+
+    def test_shallow_k_rejected(self):
+        from filter_functions_tpu.ops.ozaki import ozaki_matmul_c_outer
+        P, B, Cm = self._case(256)
+        with pytest.raises(ValueError, match='slice_bits'):
+            ozaki_matmul_c_outer(
+                jnp.asarray(P.real), jnp.asarray(P.imag),
+                jnp.asarray(B.real), jnp.asarray(B.imag),
+                jnp.asarray(Cm.real), jnp.asarray(Cm.imag))
+
+    def test_depth_policy(self):
+        """Shallow contractions keep full-precision 30-bit f64
+        assembly; only the deep regime (slice width 5-6) runs the
+        fast path (measured regression: the 24-bit default leaked
+        into d=2 raw filter functions at 9e-6 parity)."""
+        from filter_functions_tpu.ops.ozaki import (
+            DEEP_PRECISION_BITS, DEFAULT_PRECISION_BITS, _slice_params)
+        assert DEFAULT_PRECISION_BITS >= 30
+        assert DEEP_PRECISION_BITS <= DEFAULT_PRECISION_BITS
+        # d=2 pulses: K = 4 G stays shallow for any realistic train
+        assert _slice_params(4 * 32, DEFAULT_PRECISION_BITS)[0] not in \
+            (5, 6)
+        # the flagship K = 13 * 256 lands in the deep window
+        assert _slice_params(13 * 256, DEFAULT_PRECISION_BITS)[0] in \
+            (5, 6)
