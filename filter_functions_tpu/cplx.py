@@ -532,8 +532,50 @@ def _eigh_embedded(re: jnp.ndarray, im: jnp.ndarray):
     return extract(w2, cand_x, cand_y)
 
 
+def _eigh_2x2(re: jnp.ndarray, im: jnp.ndarray):
+    """Closed-form batched Hermitian 2x2 eigendecomposition.
+
+    The d = 2 workloads (DD trains, randomized benchmarking, single-
+    qubit optimal control) hit diagonalization per segment; the generic
+    real-embedding path costs a 4x4 eigh plus deflation each, while the
+    closed form is a handful of elementwise ops.  Eigenvalues ascend;
+    the eigenvector of the larger eigenvalue is taken from whichever of
+    the two analytic forms (b, w1 - a) / (w1 - c, b*) has the larger
+    norm (branchless), and its orthonormal partner (-y*, x*) is the
+    other eigenvector.
+    """
+    a, c = re[..., 0, 0], re[..., 1, 1]
+    br, bi = re[..., 0, 1], im[..., 0, 1]
+    m = 0.5 * (a + c)
+    delta = 0.5 * (a - c)
+    r = jnp.sqrt(delta * delta + br * br + bi * bi)
+    w = jnp.stack([m - r, m + r], axis=-1)
+
+    use_bc = delta >= 0           # (w1 - c, b*) has norm >= r here
+    zero = jnp.zeros_like(br)
+    x_re = jnp.where(use_bc, r + delta, br)
+    x_im = jnp.where(use_bc, zero, bi)
+    y_re = jnp.where(use_bc, br, r - delta)
+    y_im = jnp.where(use_bc, -bi, zero)
+    n = jnp.sqrt(x_re**2 + x_im**2 + y_re**2 + y_im**2)
+    good = n > 0                  # n == 0 only for H = m * I
+    inv = jnp.where(good, 1.0 / jnp.where(good, n, 1.0), 1.0)
+    x_re = jnp.where(good, x_re * inv, zero)
+    x_im = jnp.where(good, x_im * inv, zero)
+    y_re = jnp.where(good, y_re * inv, jnp.ones_like(br))
+    y_im = jnp.where(good, y_im * inv, zero)
+    # columns: v0 = (-y*, x*) for w0, v1 = (x, y) for w1
+    vre = jnp.stack([jnp.stack([-y_re, x_re], axis=-1),
+                     jnp.stack([x_re, y_re], axis=-1)], axis=-2)
+    vim = jnp.stack([jnp.stack([y_im, x_im], axis=-1),
+                     jnp.stack([-x_im, y_im], axis=-1)], axis=-2)
+    return w, vre, vim
+
+
 @jax.custom_jvp
 def _eigh_impl(re: jnp.ndarray, im: jnp.ndarray):
+    if re.shape[-1] == 2:
+        return _eigh_2x2(re, im)
     if config.supports_native_complex():
         h = lax.complex(re, im)
         w, v = jnp.linalg.eigh(h)

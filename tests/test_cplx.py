@@ -399,3 +399,44 @@ class TestOzakiFactored:
         # the flagship K = 13 * 256 lands in the deep window
         assert _slice_params(13 * 256, DEFAULT_PRECISION_BITS)[0] in \
             (5, 6)
+
+
+class TestEigh2x2:
+    """Closed-form d = 2 eigendecomposition (cplx._eigh_2x2): exact
+    invariants and eigenvalue agreement with LAPACK across the branch
+    structure (off-diagonal-dominant, diagonal-dominant both signs,
+    exactly diagonal, proportional to identity)."""
+
+    def _check(self, h):
+        w, vre, vim = cplx._eigh_2x2(jnp.asarray(h.real),
+                                     jnp.asarray(h.imag))
+        w, v = np.asarray(w), np.asarray(vre) + 1j * np.asarray(vim)
+        assert_allclose(h @ v, v * w[..., None, :], atol=1e-13)
+        eye = np.broadcast_to(np.eye(2), h.shape)
+        assert_allclose(v.conj().swapaxes(-1, -2) @ v, eye, atol=1e-13)
+        assert_allclose(w, np.linalg.eigvalsh(h), atol=1e-13)
+
+    def test_random(self):
+        h = randc(64, 2, 2)
+        self._check(h + h.conj().swapaxes(-1, -2))
+
+    def test_branches(self):
+        cases = np.array([
+            [[0.0, 1.0], [1.0, 0.0]],              # pure off-diagonal
+            [[5.0, 1e-3j], [-1e-3j, -5.0]],        # diag-dominant, a > c
+            [[-5.0, 1e-3], [1e-3, 5.0]],           # diag-dominant, a < c
+            [[2.0, 0.0], [0.0, -1.0]],             # exactly diagonal
+            [[3.0, 0.0], [0.0, 3.0]],              # proportional to I
+        ], dtype=complex)
+        self._check(cases)
+
+    def test_pipeline_uses_it(self):
+        # d = 2 propagators through the full public path stay exact
+        from math import pi
+        import filter_functions_tpu as ff
+        X, Z = np.array([[0, 1], [1, 0]], complex), np.diag([1., -1.])
+        p = ff.PulseSequence([[X / 2, [pi], 'X']],
+                             [[Z.astype(complex) / 2, [1], 'Z']], [1])
+        u = np.asarray(p.total_propagator.to_numpy())
+        want = np.cos(pi / 2) * np.eye(2) - 1j * np.sin(pi / 2) * X
+        assert_allclose(u, want, atol=1e-13)
