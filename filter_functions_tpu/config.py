@@ -213,6 +213,29 @@ def ozaki_factored() -> bool:
     return os.environ.get('FF_TPU_OZAKI_FACTORED', '1') != '0'
 
 
+def eigh_mode() -> str:
+    """How d > 2 Hermitian eigendecompositions run on no-complex
+    backends (cplx._eigh_impl).
+
+    'refined'  -- f32 real-embedding eigh + Ogita-Aishima Newton
+                  refinement to f64 (matmul-only; the default).  XLA's
+                  f64 TPU eigh is scalar-emulated and compiles for
+                  minutes while delivering only ~1e-8 residuals; the
+                  refined path is faster to run AND to compile at equal
+                  or better accuracy.  Caveat: eigenvalue pairs with a
+                  *genuine* relative gap inside (1e-12, ~4e-6) are
+                  treated as degenerate clusters (backward error up to
+                  the gap itself); exact degeneracies are handled
+                  exactly.
+    'embedded' -- the f64 real-embedding eigh end to end.
+
+    Override with FF_TPU_EIGH.  Read at trace time: set it before the
+    first call for a given shape (cached executables keep the mode they
+    were traced with).
+    """
+    return os.environ.get('FF_TPU_EIGH', 'refined')
+
+
 def supports_native_complex() -> bool:
     """True if the default backend supports the native complex dtype.
 

@@ -572,6 +572,82 @@ def _eigh_2x2(re: jnp.ndarray, im: jnp.ndarray):
     return w, vre, vim
 
 
+def _oa_step(h: 'C', lam: jnp.ndarray, v: 'C', scale: jnp.ndarray,
+             gap_tol: float):
+    """One Ogita-Aishima Newton step for the Hermitian eigenproblem.
+
+    Given approximate eigenpairs (lam, v) (v approximately unitary),
+    computes S = V^H H V, G = V^H V and updates
+
+        lam_i <- Re(S_ii) / Re(G_ii)                  (Rayleigh)
+        E_ij   = (S_ij + lam_j R_ij) / (lam_j - lam_i),  R = I - G
+        E      = R/2 on the diagonal and inside clusters
+        V     <- V (I + E)
+
+    which converges quadratically where eigenvalue gaps exceed
+    ``gap_tol * scale`` (Ogita & Aishima, JSIAM 2018).  Pairs below the
+    tolerance are treated as a degenerate cluster: only the
+    orthonormality correction R/2 is applied, leaving the (physically
+    irrelevant) rotation within the cluster alone.  Cost: four batched
+    d x d complex matmuls -- no factorization, no solve.
+    """
+    hv = matmul(h, v)
+    s = matmul(v.H, hv)
+    g = matmul(v.H, v)
+    lam = s.diagonal().re / g.diagonal().re
+    den = lam[..., None, :] - lam[..., :, None]        # lam_j - lam_i
+    safe = jnp.abs(den) > gap_tol * scale[..., None, None]
+    inv = jnp.where(safe, 1.0 / jnp.where(safe, den, 1.0), 0.0)
+    d_dim = lam.shape[-1]
+    eye = jnp.eye(d_dim, dtype=g.re.dtype)
+    r = C(eye - g.re, -g.im)                           # I - V^H V
+    num = C(s.re + lam[..., None, :] * r.re,
+            s.im + lam[..., None, :] * r.im)
+    e = C(jnp.where(safe, num.re * inv, 0.5 * r.re),
+          jnp.where(safe, num.im * inv, 0.5 * r.im))
+    return lam, v + matmul(v, e)
+
+
+def _eigh_refined(re: jnp.ndarray, im: jnp.ndarray, steps: int = 3,
+                  gap_tol: float = 4e-6):
+    """f32 seed + f64 Newton refinement Hermitian eigendecomposition.
+
+    XLA's TPU f64 eigh is scalar-emulated: the flagship (416, 32, 32)
+    embedded problem takes minutes to *compile* and still returns only
+    ~1e-8 residuals (measured; the QDWH iteration tolerances target
+    single precision).  The f32 eigh by contrast is a fast native
+    kernel.  So: run the real-embedding eigh + deflation extraction
+    entirely in f32 (cplx._eigh_embedded), then apply ``steps``
+    matmul-only Ogita-Aishima corrections in f64 (:func:`_oa_step`).
+    Two steps square the f32 error twice (1e-7 -> ~1e-13); the third
+    mops up ill-conditioned stragglers for free (the marginal cost is
+    four small matmuls).
+
+    Degeneracy: exact degeneracies are harmless (any orthonormal
+    cluster basis is a valid eigenbasis and the cluster residual
+    vanishes with it).  Genuine gaps below ``gap_tol * ||H||`` are
+    *treated* as degenerate -- backward error up to the gap itself.
+    Set FF_TPU_EIGH=embedded for the f64 end-to-end path if such
+    spectra matter more than speed.
+    """
+    f32 = jnp.float32
+    w0, vx0, vy0 = _eigh_embedded(re.astype(f32), im.astype(f32))
+    dtype = re.dtype
+    lam = w0.astype(dtype)
+    v = C(vx0.astype(dtype), vy0.astype(dtype))
+    h = C(re, im)
+    scale = jnp.maximum(jnp.max(jnp.abs(lam), axis=-1), 1e-300)
+    for _ in range(steps):
+        lam, v = _oa_step(h, lam, v, scale, gap_tol)
+    # Refinement moves eigenvalues by O(f32 eps): restore ascending
+    # order (cluster-internal swaps only) so callers can rely on it.
+    order = jnp.argsort(lam, axis=-1)
+    lam = jnp.take_along_axis(lam, order, axis=-1)
+    v = C(jnp.take_along_axis(v.re, order[..., None, :], axis=-1),
+          jnp.take_along_axis(v.im, order[..., None, :], axis=-1))
+    return lam, v.re, v.im
+
+
 @jax.custom_jvp
 def _eigh_impl(re: jnp.ndarray, im: jnp.ndarray):
     if re.shape[-1] == 2:
@@ -580,7 +656,10 @@ def _eigh_impl(re: jnp.ndarray, im: jnp.ndarray):
         h = lax.complex(re, im)
         w, v = jnp.linalg.eigh(h)
         return w, v.real, v.imag
-    # TPU path: real-embedding eigh (no complex128, no host callbacks).
+    # TPU path (no complex128, no host callbacks): f32 embedding eigh
+    # + f64 Newton refinement by default, f64 embedding on request.
+    if config.eigh_mode() == 'refined':
+        return _eigh_refined(re, im)
     return _eigh_embedded(re, im)
 
 

@@ -440,3 +440,82 @@ class TestEigh2x2:
         u = np.asarray(p.total_propagator.to_numpy())
         want = np.cos(pi / 2) * np.eye(2) - 1j * np.sin(pi / 2) * X
         assert_allclose(u, want, atol=1e-13)
+
+
+class TestEighRefined:
+    """f32-seed + Newton-refinement eigendecomposition
+    (cplx._eigh_refined): the default d > 2 path on no-complex
+    backends.  Invariants at f64 level for all sane spectra, bounded
+    backward error (<= the gap) for pathological near-degeneracies."""
+
+    def _run(self, h):
+        w, vre, vim = jax.jit(cplx._eigh_refined)(
+            jnp.asarray(h.real), jnp.asarray(h.imag))
+        return np.asarray(w), np.asarray(vre) + 1j * np.asarray(vim)
+
+    def _check(self, h, res_atol=5e-13):
+        scale = max(np.abs(np.linalg.eigvalsh(h)).max(), 1e-300)
+        w, v = self._run(h)
+        assert np.abs(h @ v - v * w[..., None, :]).max() <= \
+            res_atol * scale
+        eye = np.broadcast_to(np.eye(h.shape[-1]), h.shape)
+        assert np.abs(v.conj().swapaxes(-1, -2) @ v - eye).max() < 5e-13
+        assert np.abs(w - np.linalg.eigvalsh(h)).max() <= \
+            res_atol * scale
+        assert (np.diff(w, axis=-1) >= -1e-12 * scale).all()
+
+    def test_random_d16(self):
+        h = randc(64, 16, 16)
+        self._check(h + h.conj().swapaxes(-1, -2))
+
+    def test_random_d4(self):
+        h = randc(128, 4, 4)
+        self._check(h + h.conj().swapaxes(-1, -2))
+
+    def test_exact_degeneracy(self):
+        # kron(h, I2): every eigenvalue exactly doubled
+        h8 = randc(32, 8, 8)
+        h8 = h8 + h8.conj().swapaxes(-1, -2)
+        self._check(np.kron(h8, np.eye(2)))
+
+    def test_trivial_spectra(self):
+        self._check(np.zeros((4, 16, 16), complex))
+        self._check(np.broadcast_to(3.0 * np.eye(16),
+                                    (4, 16, 16)).astype(complex).copy())
+
+    def test_large_scale(self):
+        h = randc(8, 16, 16)
+        self._check(1e6 * (h + h.conj().swapaxes(-1, -2)))
+
+    def test_near_degenerate_backward_error(self):
+        # Gaps below the cluster tolerance are treated as degenerate:
+        # the residual (backward error) stays bounded by the gap, not
+        # amplified by it.  Gaps just *above* the tolerance are as
+        # hard as the eigenvector problem itself is ill-conditioned:
+        # any f64 algorithm mixes the two vectors at the eps/gap level,
+        # so orthonormality is only guaranteed to ~eps * scale / gap.
+        local = np.random.default_rng(20260817)
+        z = local.standard_normal((16, 16)) + \
+            1j * local.standard_normal((16, 16))
+        q, _ = np.linalg.qr(z)
+        for gap in (1e-4, 1e-5, 1e-8):
+            w0 = np.sort(local.standard_normal(16))
+            w0[8] = w0[7] + gap
+            h = (q * w0) @ q.conj().T
+            h = (h + h.conj().T) / 2
+            scale = np.abs(w0).max()
+            w, v = self._run(h[None])
+            res = np.abs(h @ v[0] - v[0] * w[0][None, :]).max()
+            assert res <= max(2 * gap, 1e-12)
+            eye = np.eye(16)
+            ortho = np.abs(v[0].conj().T @ v[0] - eye).max()
+            if gap < 4e-6 * scale:      # clustered: R/2 keeps V unitary
+                assert ortho < 2e-12
+            else:                       # conditioning floor eps/gap
+                assert ortho < 200 * 2.3e-16 * scale / gap
+
+    def test_matches_production_dispatch(self):
+        # on no-complex backends _eigh_impl routes d > 2 through the
+        # refined path by default (config.eigh_mode)
+        from filter_functions_tpu import config
+        assert config.eigh_mode() == 'refined'
