@@ -608,7 +608,7 @@ def _oa_step(h: 'C', lam: jnp.ndarray, v: 'C', scale: jnp.ndarray,
     return lam, v + matmul(v, e)
 
 
-def _eigh_refined(re: jnp.ndarray, im: jnp.ndarray, steps: int = 3,
+def _eigh_refined(re: jnp.ndarray, im: jnp.ndarray, steps: int = 2,
                   gap_tol: float = 4e-6):
     """f32 seed + f64 Newton refinement Hermitian eigendecomposition.
 
@@ -619,9 +619,12 @@ def _eigh_refined(re: jnp.ndarray, im: jnp.ndarray, steps: int = 3,
     kernel.  So: run the real-embedding eigh + deflation extraction
     entirely in f32 (cplx._eigh_embedded), then apply ``steps``
     matmul-only Ogita-Aishima corrections in f64 (:func:`_oa_step`).
-    Two steps square the f32 error twice (1e-7 -> ~1e-13); the third
-    mops up ill-conditioned stragglers for free (the marginal cost is
-    four small matmuls).
+    Two steps square the f32 error twice, which measures out to
+    machine-eps residuals (~2e-16 * scale) for every relative gap down
+    to 1e-5; a third step only polishes eigenvector *orthonormality*
+    in the pathological near-degenerate zone (1.8e-10 -> 1.6e-12 at
+    relative gap 1e-5) and costs ~0.6 ms/pulse on the flagship, so the
+    default stays at two.
 
     Degeneracy: exact degeneracies are harmless (any orthonormal
     cluster basis is a valid eigenbasis and the cluster residual
