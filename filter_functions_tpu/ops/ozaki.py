@@ -58,22 +58,46 @@ DEEP_PRECISION_BITS = int(os.environ.get('FF_TPU_OZAKI_BITS_DEEP',
 _ACC_BITS = 24
 #: bf16 holds integers up to 2^8 exactly.
 _MAX_SLICE_BITS = 8
+#: int8 digit width: 7-bit digits keep every K <= 2^17 slice product
+#: sum exactly inside the MXU's int32 accumulator.
+_INT8_SLICE_BITS = 7
+
+
+def _mxu_mode() -> str:
+    """MXU element type for the slice products: 'int8' (7-bit digits,
+    *exact* int32 accumulation, ~2.8x the bf16 matmul throughput on
+    v5e-class chips) or 'bf16' (6-8-bit digits, exact f32
+    accumulation).  Read eagerly per public call and passed down as a
+    static argument (like FF_TPU_OZAKI_CMUL); inside a user jit the
+    value is baked in at trace time.  Override with FF_TPU_OZAKI_MXU.
+    """
+    return os.environ.get('FF_TPU_OZAKI_MXU', 'int8')
 
 
 def _slice_fixed_point(x: jnp.ndarray, axis: int, n_slices: int,
-                       slice_bits: int):
-    """Split x into n_slices bf16 integer 'digit' slices with a
-    per-vector power-of-two scale (error-free).
+                       slice_bits: int, mxu: str = 'bf16'):
+    """Split x into n_slices bf16 (or int8) integer 'digit' slices
+    with a per-vector power-of-two scale (error-free).
 
     Digit extraction runs in native integer arithmetic when the total
     digit width fits an int32/int64: one exact f64 multiply+round to a
     fixed-point integer, then shift/mask per digit.  The float cascade
     (round, subtract, scale per digit) costs ~3 software-emulated f64
     passes per digit on TPU and is kept only as the wide fallback.
+
+    int8 digits reserve ONE headroom bit (the scale is doubled): the
+    round-half-up peel bounds every digit below the top one by
+    2^(slice_bits - 1), and the headroom bit pulls the top digit under
+    the same bound, so all digits fit int8 without saturation logic.
+    The headroom costs one effective mantissa bit, accounted for in
+    :func:`_slice_params`.
     """
+    digit_dtype = jnp.int8 if mxu == 'int8' else jnp.bfloat16
+    headroom = 1 if mxu == 'int8' else 0
     radix = float(2**slice_bits)
     absmax = jnp.max(jnp.abs(x), axis=axis, keepdims=True)
-    exp = jnp.ceil(jnp.log2(jnp.where(absmax > 0, absmax, 1.0)))
+    exp = jnp.ceil(jnp.log2(jnp.where(absmax > 0, absmax, 1.0))) \
+        + headroom
     scale = jnp.exp2(exp - slice_bits)
     total_bits = n_slices * slice_bits
     if total_bits <= 30:
@@ -98,15 +122,15 @@ def _slice_fixed_point(x: jnp.ndarray, axis: int, n_slices: int,
             shift = slice_bits * k
             half = jnp.asarray(1 << (shift - 1), int_dtype)
             d = (z + half) >> shift            # round-half-up digit
-            slices.append(d.astype(jnp.bfloat16))
+            slices.append(d.astype(digit_dtype))
             z = z - (d << shift)
-        slices.append(z.astype(jnp.bfloat16))
+        slices.append(z.astype(digit_dtype))
         return slices, scale
     y = x * jnp.exp2(jnp.asarray(slice_bits, x.dtype) - exp)
     slices = []
     for _ in range(n_slices):
         s = jnp.round(y)
-        slices.append(s.astype(jnp.bfloat16))
+        slices.append(s.astype(digit_dtype))
         y = (y - s) * radix
     return slices, scale
 
@@ -126,7 +150,7 @@ def ozaki_matmul(a: jnp.ndarray, b: jnp.ndarray,
     propagate through Ozaki products as well, so optimal-control
     gradients keep high precision.
     """
-    return _ozaki_matmul_impl(a, b, precision_bits)
+    return _ozaki_matmul_impl(a, b, precision_bits, _mxu_mode())
 
 
 #: Deepest reduction handled in one pass (slice_bits = 4); deeper
@@ -134,14 +158,14 @@ def ozaki_matmul(a: jnp.ndarray, b: jnp.ndarray,
 _MAX_K = 2**(_ACC_BITS - 2 * 4)
 
 
-@functools.partial(jax.jit, static_argnames=('precision_bits',))
+@functools.partial(jax.jit, static_argnames=('precision_bits', 'mxu'))
 def _ozaki_matmul_impl(a: jnp.ndarray, b: jnp.ndarray,
-                       precision_bits: int = DEFAULT_PRECISION_BITS
-                       ) -> jnp.ndarray:
+                       precision_bits: int = DEFAULT_PRECISION_BITS,
+                       mxu: str = 'bf16') -> jnp.ndarray:
     K = a.shape[-1]
     if K > _MAX_K:
         # Chunk the reduction axis: each chunk's slice products stay
-        # exact in the f32 accumulator; the cross-chunk sum runs in
+        # exact in the accumulator; the cross-chunk sum runs in
         # f64, so accuracy is unchanged.
         n_chunks = -(-K // _MAX_K)
         pad = n_chunks * _MAX_K - K
@@ -154,53 +178,80 @@ def _ozaki_matmul_impl(a: jnp.ndarray, b: jnp.ndarray,
             -3, 0)
         out = None
         for c in range(n_chunks):
-            term = _ozaki_matmul_impl(a_c[c], b_c[c], precision_bits)
+            term = _ozaki_matmul_impl(a_c[c], b_c[c], precision_bits,
+                                      mxu)
             out = term if out is None else out + term
         return out
 
-    slice_bits, n_slices = _slice_params(K, precision_bits)
-    a_sl, a_scale = _slice_fixed_point(a, -1, n_slices, slice_bits)
-    b_sl, b_scale = _slice_fixed_point(b, -2, n_slices, slice_bits)
+    slice_bits, n_slices = _slice_params(K, precision_bits, mxu)
+    a_sl, a_scale = _slice_fixed_point(a, -1, n_slices, slice_bits, mxu)
+    b_sl, b_scale = _slice_fixed_point(b, -2, n_slices, slice_bits, mxu)
     out = _matmul_from_slices(a_sl, b_sl, slice_bits, a.ndim)
     return out * a_scale * b_scale
 
 
-def _slice_params(K: int, precision_bits: int) -> Tuple[int, int]:
-    slice_bits = min(_MAX_SLICE_BITS,
-                     (_ACC_BITS - math.ceil(math.log2(max(K, 2)))) // 2)
-    max_level = max(1, -(-precision_bits // slice_bits) - 1)
+def _slice_params(K: int, precision_bits: int,
+                  mxu: str = 'bf16') -> Tuple[int, int]:
+    if mxu == 'int8':
+        # Exactness: a 2*slice_bits-bit product summed K deep must fit
+        # the 31-bit int32 accumulator; the extra level-sum factor
+        # (n_slices products per level) stays within the remaining
+        # headroom for every K <= _MAX_K.  The one headroom bit spent
+        # on digit range costs one effective mantissa bit, so size the
+        # slice count against precision_bits + 1.
+        slice_bits = min(_INT8_SLICE_BITS,
+                         (31 - math.ceil(math.log2(max(K, 2)))) // 2)
+        max_level = max(1, -(-(precision_bits + 1) // slice_bits) - 1)
+    else:
+        slice_bits = min(
+            _MAX_SLICE_BITS,
+            (_ACC_BITS - math.ceil(math.log2(max(K, 2)))) // 2)
+        max_level = max(1, -(-precision_bits // slice_bits) - 1)
     return slice_bits, max_level + 1
 
 
 def _matmul_from_slices(a_sl, b_sl, slice_bits: int, ndim: int):
-    """sum_{i+j <= L} 2^{-slice_bits (i+j)} A_i @ B_j on the MXU."""
+    """sum_{i+j <= L} 2^{-slice_bits (i+j)} A_i @ B_j on the MXU.
+
+    bf16 digits accumulate exactly in f32 and widen to f64 per product;
+    int8 digits accumulate exactly in *int32*, and whole levels sum in
+    native int32 before the (emulated-f64) widening -- one conversion
+    per level instead of one per product.
+    """
     n_slices = len(a_sl)
+    int8 = a_sl[0].dtype == jnp.int8
+    acc_t = jnp.int32 if int8 else jnp.float32
     batch = tuple(range(ndim - 2))
     dims = (((ndim - 1,), (ndim - 2,)), (batch, batch))
     out = None
     for s in range(n_slices):
-        # sum_{i+j=s} A_i @ B_j: each product is exact in f32; the
-        # cross-pair sum may overflow the 24-bit budget, so widen first.
+        # sum_{i+j=s} A_i @ B_j: each product is exact in the
+        # accumulator; the cross-pair f32 sum may overflow the 24-bit
+        # budget, so widen first (int32 levels cannot overflow: see
+        # _slice_params).
         level = None
         for i in range(s + 1):
             prod = jax.lax.dot_general(
                 a_sl[i], b_sl[s - i], dimension_numbers=dims,
-                preferred_element_type=jnp.float32).astype(jnp.float64)
+                preferred_element_type=acc_t)
+            if not int8:
+                prod = prod.astype(jnp.float64)
             level = prod if level is None else level + prod
-        term = level * (2.0**(-slice_bits * s))
+        term = level.astype(jnp.float64) * (2.0**(-slice_bits * s))
         out = term if out is None else out + term
     return out
 
 
 def _ozaki_fwd(a, b, precision_bits):
-    return _ozaki_matmul_impl(a, b, precision_bits), (a, b)
+    return _ozaki_matmul_impl(a, b, precision_bits, _mxu_mode()), (a, b)
 
 
 def _ozaki_bwd(precision_bits, res, g):
     a, b = res
     # d/da (a @ b) . g = g @ b^T ;  d/db (a @ b) . g = a^T @ g
-    da = _ozaki_matmul_impl(g, b.swapaxes(-1, -2), precision_bits)
-    db = _ozaki_matmul_impl(a.swapaxes(-1, -2), g, precision_bits)
+    mxu = _mxu_mode()
+    da = _ozaki_matmul_impl(g, b.swapaxes(-1, -2), precision_bits, mxu)
+    db = _ozaki_matmul_impl(a.swapaxes(-1, -2), g, precision_bits, mxu)
     return da, db
 
 
@@ -232,13 +283,14 @@ def ozaki_matmul_c(a_re, a_im, b_re, b_im,
     Returns (re, im) of shape (..., M, N).
     """
     return _ozaki_matmul_c_impl(a_re, a_im, b_re, b_im, precision_bits,
-                                _cmul_mode())
+                                _cmul_mode(), _mxu_mode())
 
 
-@functools.partial(jax.jit, static_argnames=('precision_bits', 'cmul'))
+@functools.partial(jax.jit,
+                   static_argnames=('precision_bits', 'cmul', 'mxu'))
 def _ozaki_matmul_c_impl(a_re, a_im, b_re, b_im,
                          precision_bits: int = DEFAULT_PRECISION_BITS,
-                         cmul: str = '3'):
+                         cmul: str = '3', mxu: str = 'bf16'):
     K = a_re.shape[-1]
     if K > _MAX_K:
         # chunk the reduction exactly as the real path does
@@ -261,19 +313,19 @@ def _ozaki_matmul_c_impl(a_re, a_im, b_re, b_im,
         out_re = out_im = None
         for c in range(n_chunks):
             t_re, t_im = _ozaki_matmul_c_impl(ar[c], ai[c], br[c], bi[c],
-                                              precision_bits, cmul)
+                                              precision_bits, cmul, mxu)
             out_re = t_re if out_re is None else out_re + t_re
             out_im = t_im if out_im is None else out_im + t_im
         return out_re, out_im
 
-    slice_bits, n_slices = _slice_params(K, precision_bits)
+    slice_bits, n_slices = _slice_params(K, precision_bits, mxu)
     ndim = a_re.ndim
 
     def sl_a(x):
-        return _slice_fixed_point(x, -1, n_slices, slice_bits)
+        return _slice_fixed_point(x, -1, n_slices, slice_bits, mxu)
 
     def sl_b(x):
-        return _slice_fixed_point(x, -2, n_slices, slice_bits)
+        return _slice_fixed_point(x, -2, n_slices, slice_bits, mxu)
 
     ar_sl, ar_sc = sl_a(a_re)
     ai_sl, ai_sc = sl_a(a_im)
@@ -337,22 +389,22 @@ def _outer_word(b1, b0, c1, c0):
     return (p2 << 6) + ((p1 + ((p0 + (1 << 11)) >> 12) + (1 << 5)) >> 6)
 
 
-def _peel_int(v, n_slices: int, slice_bits: int):
-    """bf16 digit slices (high first) of an int32 v with
-    |v| < 2^(n_slices * slice_bits), round-half-up cascade."""
+def _peel_int(v, n_slices: int, slice_bits: int,
+              digit_dtype=jnp.bfloat16):
+    """Digit slices (high first) of an int32 v with
+    |v| < 2^(min(n_slices * slice_bits, 31)), round-half-up cascade."""
     slices = []
     z = v
     for k in range(n_slices - 1, 0, -1):
         shift = slice_bits * k
         half = jnp.asarray(1 << (shift - 1), jnp.int32)
         d = (z + half) >> shift
-        slices.append(d.astype(jnp.bfloat16))
+        slices.append(d.astype(digit_dtype))
         z = z - (d << shift)
-    slices.append(z.astype(jnp.bfloat16))
+    slices.append(z.astype(digit_dtype))
     return slices
 
 
-@functools.partial(jax.jit, static_argnames=('precision_bits',))
 def ozaki_matmul_c_outer(p_re, p_im, b_re, b_im, c_re, c_im,
                          precision_bits: int = DEFAULT_PRECISION_BITS):
     r"""Complex ``P @ D`` where ``D[k, (j c)] = B[k, j] * C[k, c]`` is
@@ -370,20 +422,44 @@ def ozaki_matmul_c_outer(p_re, p_im, b_re, b_im, c_re, c_im,
 
     P: (M, K) split re/im (any float dtype); B: (K, J); C: (K, Cc).
     Returns (re, im) of shape (M, J * Cc) in f64.  Requires the
-    K-adapted slice width to be 5 or 6 bits (256 < K <= 16384); the
+    K-adapted slice width to be 5-7 bits (256 < K <= 16384); the
     caller falls back to :func:`ozaki_matmul_c` otherwise.
     """
+    return _ozaki_matmul_c_outer_impl(p_re, p_im, b_re, b_im, c_re,
+                                      c_im, precision_bits, _mxu_mode())
+
+
+@functools.partial(jax.jit, static_argnames=('precision_bits', 'mxu'))
+def _ozaki_matmul_c_outer_impl(p_re, p_im, b_re, b_im, c_re, c_im,
+                               precision_bits: int
+                               = DEFAULT_PRECISION_BITS,
+                               mxu: str = 'bf16'):
     K = p_re.shape[-1]
-    slice_bits, n_p = _slice_params(K, precision_bits)
-    if slice_bits not in (5, 6):
-        raise ValueError('factored path requires slice_bits in (5, 6), '
-                         f'got {slice_bits} for K={K}')
-    n_d = 30 // slice_bits
+    slice_bits, n_p = _slice_params(K, precision_bits, mxu)
+    if slice_bits not in (5, 6, 7) or K <= 256:
+        # int8 digits cap at 7 bits for every K, so the slice width no
+        # longer distinguishes shallow reductions -- gate on K as well.
+        raise ValueError('factored path requires slice_bits in (5..7) '
+                         f'and deep K > 256, got slice_bits={slice_bits} '
+                         f'for K={K}')
+    # D-side digit count: cover the 30-bit product word.  The int8
+    # peel still operates on the int32 word, so its left-normalization
+    # targets bit 29 (not n_d * slice_bits - 1, which would overflow)
+    # -- which leaves D's TOP digit underfilled (~2 of 7 bits).  The
+    # level-truncation cutoff is set by the A_top x D_bottom pairs, so
+    # the P side must slice as deep as D (n_p = n_d = 5) or the
+    # skewed D digits cost ~4 bits of the pair budget (measured:
+    # 1.25e-9 flagship parity at n_p = 4 vs 8e-11 at 5).
+    n_d = -(-30 // slice_bits) if mxu == 'int8' else 30 // slice_bits
+    if mxu == 'int8':
+        n_p = max(n_p, n_d)
+    digit_dtype = jnp.int8 if mxu == 'int8' else jnp.bfloat16
 
     # P side: standard slicing (f32 assembly upstream)
-    pr_sl, pr_sc = _slice_fixed_point(p_re, -1, n_p, slice_bits)
-    pi_sl, pi_sc = _slice_fixed_point(p_im, -1, n_p, slice_bits)
-    ps_sl, ps_sc = _slice_fixed_point(p_re + p_im, -1, n_p, slice_bits)
+    pr_sl, pr_sc = _slice_fixed_point(p_re, -1, n_p, slice_bits, mxu)
+    pi_sl, pi_sc = _slice_fixed_point(p_im, -1, n_p, slice_bits, mxu)
+    ps_sl, ps_sc = _slice_fixed_point(p_re + p_im, -1, n_p, slice_bits,
+                                      mxu)
 
     # factor side: shared 23-bit fixed point per column (one scale per
     # column covering both re and im so sums stay consistent; 23 bits
@@ -423,15 +499,16 @@ def ozaki_matmul_c_outer(p_re, p_im, b_re, b_im, c_re, c_im,
     outs = []
     for w in d_comps:
         w = w.reshape(*w.shape[:-2], J * Cc)
-        # per-column normalization to the 30-bit digit budget
+        # per-column normalization to the digit budget (capped at the
+        # int32 word width: the int8 peel reads the same 30-bit word)
         colmax = jnp.max(jnp.abs(w), axis=-2, keepdims=False)
         nbits = n_d * slice_bits
         # bit length via float log2 (exact for int32 magnitudes)
         e_w = jnp.ceil(jnp.log2(jnp.maximum(colmax, 1).astype(
             jnp.float64))).astype(jnp.int32)
-        lshift = jnp.maximum(nbits - 1 - e_w, 0)
+        lshift = jnp.maximum(min(nbits, 30) - 1 - e_w, 0)
         v = w << lshift[..., None, :]
-        d_sl = _peel_int(v, n_d, slice_bits)
+        d_sl = _peel_int(v, n_d, slice_bits, digit_dtype)
         # scale: D = v * 2^(eB + eC - 28 - lshift); digit expansion
         # v = 2^(nbits - slice_bits) * sum_s d_s 2^(-slice_bits s)
         d_sc = jnp.exp2((e_bc - 28 - lshift
@@ -442,19 +519,7 @@ def ozaki_matmul_c_outer(p_re, p_im, b_re, b_im, c_re, c_im,
     def mm(a_sl, a_sc, d):
         d_sl, d_sc = d
         n = min(len(a_sl), len(d_sl))
-        batch = tuple(range(ndim - 2))
-        dims = (((ndim - 1,), (ndim - 2,)), (batch, batch))
-        out = None
-        for s in range(n):
-            level = None
-            for i in range(s + 1):
-                prod = jax.lax.dot_general(
-                    a_sl[i], d_sl[s - i], dimension_numbers=dims,
-                    preferred_element_type=jnp.float32
-                ).astype(jnp.float64)
-                level = prod if level is None else level + prod
-            term = level * (2.0 ** (-slice_bits * s))
-            out = term if out is None else out + term
+        out = _matmul_from_slices(a_sl[:n], d_sl[:n], slice_bits, ndim)
         return out * a_sc * d_sc
 
     p1 = mm(pr_sl, pr_sc, outs[0])
@@ -466,7 +531,7 @@ def ozaki_matmul_c_outer(p_re, p_im, b_re, b_im, c_re, c_im,
 
 def _ozaki_c_fwd(a_re, a_im, b_re, b_im, precision_bits):
     return (_ozaki_matmul_c_impl(a_re, a_im, b_re, b_im, precision_bits,
-                                 _cmul_mode()),
+                                 _cmul_mode(), _mxu_mode()),
             (a_re, a_im, b_re, b_im))
 
 
@@ -475,12 +540,13 @@ def _ozaki_c_bwd(precision_bits, res, g):
     g_re, g_im = g
     # da = g @ conj(b)^T, db = conj(a)^T @ g (complex product rules on
     # split components)
+    cmul, mxu = _cmul_mode(), _mxu_mode()
     bt_re, bt_im = b_re.swapaxes(-1, -2), b_im.swapaxes(-1, -2)
     at_re, at_im = a_re.swapaxes(-1, -2), a_im.swapaxes(-1, -2)
     da_re, da_im = _ozaki_matmul_c_impl(g_re, g_im, bt_re, -bt_im,
-                                        precision_bits, _cmul_mode())
+                                        precision_bits, cmul, mxu)
     db_re, db_im = _ozaki_matmul_c_impl(at_re, -at_im, g_re, g_im,
-                                        precision_bits, _cmul_mode())
+                                        precision_bits, cmul, mxu)
     return da_re, da_im, db_re, db_im
 
 
