@@ -216,7 +216,10 @@ def _matmul_from_slices(a_sl, b_sl, slice_bits: int, ndim: int):
     bf16 digits accumulate exactly in f32 and widen to f64 per product;
     int8 digits accumulate exactly in *int32*, and whole levels sum in
     native int32 before the (emulated-f64) widening -- one conversion
-    per level instead of one per product.
+    per level instead of one per product.  (Collapsing each level to a
+    single K-concatenated matmul was measured SLOWER -- 18.0 vs 15.4
+    ms/pulse on the flagship -- the int8 concat materialization costs
+    more than XLA's dispatch of the separate pair products.)
     """
     n_slices = len(a_sl)
     int8 = a_sl[0].dtype == jnp.int8
@@ -449,7 +452,12 @@ def _ozaki_matmul_c_outer_impl(p_re, p_im, b_re, b_im, c_re, c_im,
     # level-truncation cutoff is set by the A_top x D_bottom pairs, so
     # the P side must slice as deep as D (n_p = n_d = 5) or the
     # skewed D digits cost ~4 bits of the pair budget (measured:
-    # 1.25e-9 flagship parity at n_p = 4 vs 8e-11 at 5).
+    # 1.25e-9 flagship parity at n_p = 4 vs 8e-11 at 5).  A FULL-WIDTH
+    # 4-digit layout (28-bit window, 10 pairs instead of 15) was
+    # measured at 12.0 ms/pulse but 1.41e-9 parity -- 28-bit operand
+    # quantization alone busts the 1e-10 budget, so both sides stay at
+    # 5 digits and the speed comes from per-level concatenation in
+    # _matmul_from_slices instead.
     n_d = -(-30 // slice_bits) if mxu == 'int8' else 30 // slice_bits
     if mxu == 'int8':
         n_p = max(n_p, n_d)
@@ -499,19 +507,26 @@ def _ozaki_matmul_c_outer_impl(p_re, p_im, b_re, b_im, c_re, c_im,
     outs = []
     for w in d_comps:
         w = w.reshape(*w.shape[:-2], J * Cc)
-        # per-column normalization to the digit budget (capped at the
-        # int32 word width: the int8 peel reads the same 30-bit word)
+        # per-column normalization to EXACTLY the digit budget: columns
+        # below it shift left; columns ABOVE it (the word carries up to
+        # ~30 bits, the 4x7-bit budget only 28) must shift RIGHT with
+        # rounding, or the top digit of the peel overflows int8 and
+        # silently wraps.  The rounded right shift costs <= 0.5 ulp of
+        # the 28-bit window -- relative column precision is uniform.
         colmax = jnp.max(jnp.abs(w), axis=-2, keepdims=False)
         nbits = n_d * slice_bits
         # bit length via float log2 (exact for int32 magnitudes)
         e_w = jnp.ceil(jnp.log2(jnp.maximum(colmax, 1).astype(
             jnp.float64))).astype(jnp.int32)
-        lshift = jnp.maximum(min(nbits, 30) - 1 - e_w, 0)
-        v = w << lshift[..., None, :]
+        shift = min(nbits, 30) - 1 - e_w       # signed
+        lshift = jnp.maximum(shift, 0)[..., None, :]
+        rshift = jnp.maximum(-shift, 0)[..., None, :]
+        half = (jnp.int32(1) << rshift) >> 1   # 0 when rshift == 0
+        v = ((w << lshift) + half) >> rshift
         d_sl = _peel_int(v, n_d, slice_bits, digit_dtype)
-        # scale: D = v * 2^(eB + eC - 28 - lshift); digit expansion
+        # scale: D = v * 2^(eB + eC - 28 - shift); digit expansion
         # v = 2^(nbits - slice_bits) * sum_s d_s 2^(-slice_bits s)
-        d_sc = jnp.exp2((e_bc - 28 - lshift
+        d_sc = jnp.exp2((e_bc - 28 - shift
                          + (nbits - slice_bits)).astype(jnp.float64)
                         )[..., None, :]
         outs.append((d_sl, d_sc))
