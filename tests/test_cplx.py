@@ -343,6 +343,74 @@ def test_ozaki_cmul_variants_agree(monkeypatch):
         < 2**-tol_bits * scale
 
 
+class TestOzakiMxuModes:
+    """FF_TPU_OZAKI_MXU selects the MXU element type for the digit
+    slice products: 'int8' (7-bit digits, exact int32 accumulation,
+    ~2.8x bf16 throughput -- the default) or 'bf16'.  Both must meet
+    the same truncation budget, and the toggle must take effect per
+    call (it is resolved eagerly and passed as a static argument)."""
+
+    @pytest.mark.parametrize('mode', ['int8', 'bf16'])
+    def test_real_accuracy(self, mode, monkeypatch):
+        from filter_functions_tpu.ops.ozaki import (DEFAULT_PRECISION_BITS,
+                                                    ozaki_matmul)
+        monkeypatch.setenv('FF_TPU_OZAKI_MXU', mode)
+        local = np.random.default_rng(11)
+        for (m, k, n) in [(24, 48, 16), (8, 3000, 8)]:
+            a = local.standard_normal((m, k)) \
+                * np.exp(local.standard_normal((m, 1)) * 4)
+            b = local.standard_normal((k, n)) \
+                * np.exp(local.standard_normal((1, n)) * 4)
+            got = np.asarray(ozaki_matmul(jnp.asarray(a), jnp.asarray(b)))
+            scale = (np.abs(a) @ np.abs(b)).max()
+            rel = np.abs(got - a @ b).max() / scale
+            assert rel < 2**-DEFAULT_PRECISION_BITS * 16, (mode, k, rel)
+
+    def test_modes_agree_complex(self, monkeypatch):
+        from filter_functions_tpu.ops.ozaki import (DEFAULT_PRECISION_BITS,
+                                                    ozaki_matmul_c)
+        local = np.random.default_rng(12)
+        a = local.standard_normal((40, 512)) \
+            + 1j * local.standard_normal((40, 512))
+        b = local.standard_normal((512, 24)) \
+            + 1j * local.standard_normal((512, 24))
+        want = a @ b
+        scale = (np.abs(a) @ np.abs(b)).max()
+        tol = 2**-(DEFAULT_PRECISION_BITS - 2) * scale
+        for mode in ('int8', 'bf16'):
+            # same shapes on purpose: pins that the env toggle switches
+            # executables per call instead of reusing the jit cache
+            monkeypatch.setenv('FF_TPU_OZAKI_MXU', mode)
+            g_re, g_im = ozaki_matmul_c(a.real, a.imag, b.real, b.imag)
+            err = np.abs(np.asarray(g_re) + 1j * np.asarray(g_im)
+                         - want).max()
+            assert err < tol, (mode, err, tol)
+
+    @pytest.mark.parametrize('mode', ['int8', 'bf16'])
+    def test_factored_outer(self, mode, monkeypatch):
+        from filter_functions_tpu.ops.ozaki import ozaki_matmul_c_outer
+        monkeypatch.setenv('FF_TPU_OZAKI_MXU', mode)
+        local = np.random.default_rng(13)
+        K, M, J, Cc = 2048, 24, 3, 16
+        P = local.standard_normal((M, K)) + 1j * local.standard_normal(
+            (M, K))
+        B = local.standard_normal((K, J)) + 1j * local.standard_normal(
+            (K, J))
+        Cm = local.standard_normal((K, Cc)) + 1j * local.standard_normal(
+            (K, Cc))
+        B *= np.exp2(local.integers(-8, 8, (1, J)))
+        Cm *= np.exp2(local.integers(-8, 8, (1, Cc)))
+        D = (B[:, :, None] * Cm[:, None, :]).reshape(K, -1)
+        want = P @ D
+        re, im = ozaki_matmul_c_outer(
+            jnp.asarray(P.real), jnp.asarray(P.imag),
+            jnp.asarray(B.real), jnp.asarray(B.imag),
+            jnp.asarray(Cm.real), jnp.asarray(Cm.imag))
+        got = np.asarray(re) + 1j * np.asarray(im)
+        scale = (np.abs(P) @ np.abs(D)).max()
+        assert np.abs(got - want).max() / scale < 2**-22, mode
+
+
 class TestOzakiFactored:
     """ops.ozaki.ozaki_matmul_c_outer: the factored-operand complex
     matmul whose D = B (*) C digit slices come from native int32
