@@ -205,6 +205,38 @@ def ozaki_operand_dtype(which: str = 'P'):
     return jnp.float32 if which == 'P' else jnp.float64
 
 
+def transform_dtype(reduction_depth: int):
+    """Working dtype of the frequency-independent transform chain
+    feeding the control-matrix contraction (Q†V, V†BV, the basis
+    conjugation), or None for the working precision (the default).
+
+    An OPT-IN fast mode, NOT enabled by default: unlike the factored
+    path's post-hoc 23-bit quantization of the finished operands
+    (harmless: it perturbs the contraction inputs linearly, measured
+    flagship parity 7.9e-11), f32 rounding here perturbs the
+    eigenvector frame BEFORE the conjugation, making the transformed
+    operators inconsistent with the exact eigenvalues that build the
+    frequency-integral kernel.  That inconsistency is amplified ~1e4
+    by the d = 16 QFT spectrum: measured 11.0 ms/pulse (vs 14.9) but
+    2.7e-3 relative control-matrix error and 9.0e-7 infidelity parity
+    -- three orders outside the 1e-10 contract.  Use
+    FF_TPU_TRANSFORM_DTYPE=f32 (always) or f32-deep (only when the
+    contraction runs the deep factored path) when ~1e-6 parity
+    suffices; f64 (default) keeps the working precision.
+    """
+    mode = os.environ.get('FF_TPU_TRANSFORM_DTYPE', 'f64')
+    if mode in ('f64', 'float64'):
+        return None
+    if mode in ('f32', 'float32'):
+        return jnp.float32
+    from .ops.ozaki import DEFAULT_PRECISION_BITS, _slice_params
+    deep = _slice_params(reduction_depth, DEFAULT_PRECISION_BITS)[0] \
+        in (5, 6)
+    if deep and contraction_mode() == 'ozaki' and ozaki_factored():
+        return jnp.float32
+    return None
+
+
 def ozaki_factored() -> bool:
     """Whether the control-matrix contraction may form the D operand's
     digit slices by native int32 factor arithmetic

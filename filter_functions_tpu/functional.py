@@ -49,12 +49,15 @@ def make_pulse_arrays(pulse) -> PulseArrays:
 def control_matrix(p: PulseArrays, omega: jnp.ndarray) -> C:
     """Control matrix (n_nops, n_b, n_omega) from raw arrays: the full
     diagonalize -> propagate -> contract pipeline under one trace."""
+    from . import config
     ham = ceinsum('jmn,jg->gmn', p.c_opers, p.c_coeffs)
     eigvals, eigvecs, propagators = numeric._diagonalize_jit(ham, p.dt)
     t = jnp.concatenate([jnp.zeros(1, p.dt.dtype), jnp.cumsum(p.dt)])
+    G, d = eigvals.shape
     (_, n_t, b_t, ph, integral) = numeric._ctrlmat_step_terms(
         eigvals, eigvecs, propagators[:-1], omega, p.basis, p.n_opers,
-        p.n_coeffs, p.dt, t[:-1])
+        p.n_coeffs, p.dt, t[:-1],
+        transform_dtype=config.transform_dtype(G * d * d))
     return numeric._ctrlmat_contract(n_t, integral, b_t, ph)
 
 

@@ -315,12 +315,30 @@ def _pick_chunk(G: int, n_omega: int, d: int,
 
 
 def _ctrlmat_step_terms(eigvals, eigvecs, propagators, omega, basis,
-                        n_opers, n_coeffs, dt, t):
-    """Per-segment ingredients of K4, batched over the leading G axis."""
-    eigvecs_propagated = _propagate_eigenvectors(propagators, eigvecs)
-    n_opers_transformed = _transform_hamiltonian(eigvecs, n_opers, n_coeffs)
+                        n_opers, n_coeffs, dt, t, transform_dtype=None):
+    """Per-segment ingredients of K4, batched over the leading G axis.
+
+    ``transform_dtype`` (config.transform_dtype) computes the
+    frequency-independent transform chain in f32 when the downstream
+    contraction quantizes the results to 23-bit fixed point anyway
+    (the deep factored regime); the phase factors and the first-order
+    integral always stay in the working precision (their y -> 0
+    limiting cases cancel catastrophically below f64).
+    """
+    if transform_dtype is not None:
+        def cast(c: C) -> C:
+            return c._map(lambda x: x.astype(transform_dtype))
+        eigvecs_t, props_t = cast(eigvecs), cast(propagators)
+        basis_t, nops_t = cast(basis), cast(n_opers)
+        n_coeffs_t = n_coeffs.astype(transform_dtype)
+    else:
+        eigvecs_t, props_t, basis_t, nops_t, n_coeffs_t = (
+            eigvecs, propagators, basis, n_opers, n_coeffs)
+    eigvecs_propagated = _propagate_eigenvectors(props_t, eigvecs_t)
+    n_opers_transformed = _transform_hamiltonian(eigvecs_t, nops_t,
+                                                 n_coeffs_t)
     basis_transformed = ceinsum('gba,kbc,gcd->gkad',
-                                eigvecs_propagated.conj(), basis,
+                                eigvecs_propagated.conj(), basis_t,
                                 eigvecs_propagated)
     phase_factors = cexp(t[:, None] * omega[None, :])        # (G, n_w)
     integral = _first_order_integral_batched(omega, eigvals, dt)
@@ -502,10 +520,13 @@ def _ctrlmat_scratch_scan(eigvals, eigvecs, propagators, omega, basis,
     init = C(jnp.zeros((n_nops, n_basis, len(omega)), eigvals.dtype),
              jnp.zeros((n_nops, n_basis, len(omega)), eigvals.dtype))
 
+    tdt = config.transform_dtype(chunk * d * d)
+
     def body(carry, xs):
         ev_c, V_c, Q_c, nc_c, dt_c, t_c = xs
         (_, n_t, b_t, ph, integral) = _ctrlmat_step_terms(
-            ev_c, V_c, Q_c, omega, basis, n_opers, nc_c, dt_c, t_c)
+            ev_c, V_c, Q_c, omega, basis, n_opers, nc_c, dt_c, t_c,
+            transform_dtype=tdt)
         contrib = _ctrlmat_contract(n_t, integral, b_t, ph)
         return carry + contrib, None
 

@@ -100,7 +100,16 @@ def _slice_fixed_point(x: jnp.ndarray, axis: int, n_slices: int,
         + headroom
     scale = jnp.exp2(exp - slice_bits)
     total_bits = n_slices * slice_bits
-    if total_bits <= 30:
+    if x.dtype == jnp.float32:
+        # f32 inputs take the float cascade below: every step is
+        # native VPU work AND exact (scaling by powers of two keeps
+        # the mantissa; the subtraction y - round(y) retains only
+        # low-order mantissa bits), so the digits reconstruct the f32
+        # value exactly -- whereas the int path would route a >30-bit
+        # window through software-emulated int64 shifts (measured
+        # 1.2 ms of the flagship's P slicing).
+        int_dtype = None
+    elif total_bits <= 30:
         int_dtype = jnp.int32
     elif total_bits <= 52 and jnp.zeros((), jnp.float64).dtype == \
             jnp.float64:

@@ -1,6 +1,16 @@
-"""Sub-attribution of the Ozaki contraction (scripts/attribute.py
-found it dominant).  Same k-fold in-jit method per sub-stage:
-P/D build, slicing, slice matmuls."""
+"""Sub-attribution of the Ozaki control-matrix contraction
+(scripts/attribute.py finds it dominant) at flagship shapes.
+
+Measures the CURRENT default deep-regime path (int8 MXU digits,
+int32-factored D, f32 P assembly, 24-bit deep truncation) stage by
+stage with the k-fold in-jit method: P assembly, P digit slicing,
+D outer-word formation + peel, and the slice-pair matmuls +
+recombination.  ``--legacy`` measures the assembled-D bf16 path
+instead (the pre-round-3 layout, kept for A/B reference).
+
+Run: python scripts/attr_contract.py [--cpu] [--legacy]
+"""
+import math
 import sys
 import time
 from pathlib import Path
@@ -47,7 +57,73 @@ def main():
     G, n_w, d, _ = integral.shape
     n_nops = n_t.shape[0]
     n_basis = b_t.shape[1]
+    K = G * d * d
 
+    if '--legacy' in sys.argv:
+        run_legacy(jax, jnp, ozaki, n_t, b_t, ph, integral,
+                   G, n_w, d, n_nops, n_basis)
+        return
+
+    # ---- current default deep-regime path ------------------------------
+    mxu = 'int8'
+    bits = ozaki.DEEP_PRECISION_BITS
+    slice_bits, n_p = ozaki._slice_params(K, bits, mxu)
+    n_d = -(-30 // slice_bits)
+    n_p = max(n_p, n_d)
+
+    def p_build(x):
+        integral_, ph_ = x
+        integral_ = integral_._map(lambda a: a.astype(jnp.float32))
+        ph_ = ph_._map(lambda a: a.astype(jnp.float32))
+        p_mat = (integral_ * ph_[:, :, None, None]).reshape(G, n_w, d * d)
+        return p_mat._map(
+            lambda a: a.transpose(1, 0, 2).reshape(n_w, K))
+
+    p_big = jax.block_until_ready(p_build((integral, ph)))
+
+    def p_slice(x):
+        pr, pi = x
+        out = []
+        for arr in (pr, pi, pr + pi):
+            sl, sc = ozaki._slice_fixed_point(arr, -1, n_p, slice_bits,
+                                              mxu)
+            out.extend(sl)
+            out.append(sc)
+        return out
+
+    b_fac = n_t._map(
+        lambda x: x.transpose(1, 2, 3, 0).reshape(K, n_nops))
+    c_fac = b_t._map(
+        lambda x: x.transpose(0, 3, 2, 1).reshape(K, n_basis))
+
+    def d_words(x):
+        br, bi, cr, ci = x
+        re, im = ozaki._ozaki_matmul_c_outer_impl(
+            jnp.zeros((8, K), jnp.float32), jnp.zeros((8, K), jnp.float32),
+            br, bi, cr, ci, bits, mxu)
+        return re, im
+
+    def full(x):
+        pr, pi, br, bi, cr, ci = x
+        return ozaki._ozaki_matmul_c_outer_impl(pr, pi, br, bi, cr, ci,
+                                                bits, mxu)
+
+    stages = [
+        ('P assemble (f32)', p_build, (integral, ph)),
+        ('P slice x3 (int8)', p_slice, (p_big.re, p_big.im)),
+        ('D words+peel (M=8)', d_words,
+         (b_fac.re, b_fac.im, c_fac.re, c_fac.im)),
+        ('full factored contract', full,
+         (p_big.re, p_big.im, b_fac.re, b_fac.im, c_fac.re, c_fac.im)),
+    ]
+    run_stages(jax, jnp, stages)
+    print(f'(slice_bits={slice_bits}, n_p={n_p}, n_d={n_d}, '
+          f'pairs/product={n_p * (n_p + 1) // 2}, K={K}, '
+          f'P {n_w}x{K}, D {K}x{n_nops * n_basis})')
+
+
+def run_legacy(jax, jnp, ozaki, n_t, b_t, ph, integral,
+               G, n_w, d, n_nops, n_basis):
     def build_pd(x):
         integral_, ph_ = x
         p_mat = (integral_ * ph_[:, :, None, None]).reshape(G, n_w, d * d)
@@ -62,7 +138,6 @@ def main():
 
     p_big, d_big = jax.block_until_ready(build_pd((integral, ph)))
     K = p_big.shape[-1]
-    import math
     slice_bits = min(8, (24 - math.ceil(math.log2(K))) // 2)
     bits = ozaki.DEFAULT_PRECISION_BITS
     n_slices = max(1, -(-bits // slice_bits) - 1) + 1
@@ -91,9 +166,15 @@ def main():
         ('full gauss (3 ozaki)', gauss,
          (p_big.re, p_big.im, d_big.re, d_big.im)),
     ]
+    run_stages(jax, jnp, stages)
 
+
+def run_stages(jax, jnp, stages):
     def jitter(x, eps):
-        return jax.tree.map(lambda a: a * (1.0 + eps), x)
+        return jax.tree.map(
+            lambda a: a * (1.0 + eps) if jnp.issubdtype(a.dtype,
+                                                        jnp.floating)
+            else a, x)
 
     def reduce_out(x):
         return sum(jnp.asarray(l, jnp.float64).sum()
@@ -115,12 +196,12 @@ def main():
             times.append(time.perf_counter() - t0)
         return min(times)
 
-    print(f'{"stage":<22} {"marginal ms":>12}', flush=True)
+    print(f'{"stage":<26} {"marginal ms":>12}', flush=True)
     for name, fn, x in stages:
         t_lo = timed(fn, x, 1)
         t_hi = timed(fn, x, 3)
         marginal = (t_hi - t_lo) / 2 * 1e3
-        print(f'{name:<22} {marginal:>12.2f}', flush=True)
+        print(f'{name:<26} {marginal:>12.2f}', flush=True)
 
 
 if __name__ == '__main__':

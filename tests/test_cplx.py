@@ -587,3 +587,47 @@ class TestEighRefined:
         # refined path by default (config.eigh_mode)
         from filter_functions_tpu import config
         assert config.eigh_mode() == 'refined'
+
+
+class TestTransformDtype:
+    """config.transform_dtype / the _ctrlmat_step_terms gate: an
+    opt-in fast mode.  Default stays full precision (f32 rounding of
+    the eigenvector frame is amplified ~1e4 through the eigenbasis-
+    consistency of the integral kernel: measured 9e-7 flagship parity,
+    so it must never switch on silently)."""
+
+    def test_default_is_working_precision(self, monkeypatch):
+        from filter_functions_tpu import config
+        monkeypatch.delenv('FF_TPU_TRANSFORM_DTYPE', raising=False)
+        # shallow and deep depths both stay at working precision
+        assert config.transform_dtype(4 * 32) is None
+        assert config.transform_dtype(13 * 256) is None
+
+    def test_opt_in_modes(self, monkeypatch):
+        from filter_functions_tpu import config
+        monkeypatch.setenv('FF_TPU_TRANSFORM_DTYPE', 'f32')
+        assert config.transform_dtype(4 * 32) == jnp.float32
+        monkeypatch.setenv('FF_TPU_TRANSFORM_DTYPE', 'f32-deep')
+        # deep-gated: also requires the ozaki factored contraction,
+        # which is off on the CPU backend -- stays None here
+        got = config.transform_dtype(13 * 256)
+        if config.contraction_mode() == 'ozaki':
+            assert got == jnp.float32
+        else:
+            assert got is None
+
+    def test_f32_transforms_compute_correct_values(self, monkeypatch):
+        """Forced f32: same result to f32-level accuracy (pins that the
+        cast path computes the same quantity, not that it meets the
+        1e-10 contract -- it does not, by design)."""
+        from filter_functions_tpu import functional
+        from testutil import rand_pulse_sequence
+        pulse = rand_pulse_sequence(4, 6)
+        p = functional.make_pulse_arrays(pulse)
+        omega = jnp.linspace(0.5, 10, 24)
+        monkeypatch.delenv('FF_TPU_TRANSFORM_DTYPE', raising=False)
+        want = functional.control_matrix(p, omega).to_numpy()
+        monkeypatch.setenv('FF_TPU_TRANSFORM_DTYPE', 'f32')
+        got = functional.control_matrix(p, omega).to_numpy()
+        rel = np.abs(got - want).max() / np.abs(want).max()
+        assert 0 < rel < 1e-4
