@@ -237,6 +237,28 @@ def transform_dtype(reduction_depth: int):
     return None
 
 
+def transform_mxu(reduction_depth: int) -> bool:
+    """Whether the frequency-independent conjugations (V†BV, the basis
+    conjugation) run as Ozaki MXU matmuls (numeric._conjugate_mxu)
+    instead of emulated-f64 einsums.
+
+    Exact-path alternative to :func:`transform_dtype`: the digit
+    slices decompose the f64 eigenvectors error-free, so the only new
+    error is ~2^-30-level truncation noise on the RESULT -- measured
+    1.5e-10 max element error at flagship shapes, far below the
+    factored contraction's own operand quantization; flagship parity
+    unchanged.  Default: on exactly when the contraction runs the deep
+    factored path.  Override with FF_TPU_TRANSFORM_MXU=0|1.
+    """
+    mode = os.environ.get('FF_TPU_TRANSFORM_MXU')
+    if mode is not None:
+        return mode != '0'
+    from .ops.ozaki import DEFAULT_PRECISION_BITS, _slice_params
+    deep = _slice_params(reduction_depth, DEFAULT_PRECISION_BITS)[0] \
+        in (5, 6)
+    return deep and contraction_mode() == 'ozaki' and ozaki_factored()
+
+
 def ozaki_factored() -> bool:
     """Whether the control-matrix contraction may form the D operand's
     digit slices by native int32 factor arithmetic

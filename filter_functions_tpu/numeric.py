@@ -77,6 +77,36 @@ def _transform_by_unitary(unitary: C, oper: C) -> C:
     return matmul(unitary.H, matmul(oper, unitary))
 
 
+def _conjugate_mxu(w: C, opers: C) -> C:
+    """W_g^dag K_k W_g for all (g, k) -> (G, n_k, d, d) via two Ozaki
+    MXU matmul sets instead of an emulated-f64 einsum.
+
+    Unlike downcasting the eigenvector frame (config.transform_dtype:
+    measured 9e-7 flagship parity), the Ozaki truncation here is
+    post-hoc RESULT noise from exact digit slices of the f64 inputs
+    -- ~1.5e-10 max element error at flagship shapes, 700x below the
+    factored contraction's own 23-bit operand quantization, so the
+    1e-10 infidelity contract is untouched (measured 7.9e-11,
+    unchanged).  Marginal cost 2.0 vs 2.7 ms at (G, d, n_k) =
+    (13, 16, 256).
+    """
+    from .ops.ozaki import ozaki_matmul_c
+    G, d, _ = w.shape
+    n_k = opers.shape[0]
+    # stage 1: T1[(g a), (k c)] = sum_b conj(W)[g, b, a] K[k, b, c]
+    a_stack = w.conj()._map(
+        lambda x: x.transpose(0, 2, 1).reshape(G * d, d))
+    c_flat = opers._map(
+        lambda x: x.transpose(1, 0, 2).reshape(d, n_k * d))
+    re1, im1 = ozaki_matmul_c(a_stack.re, a_stack.im,
+                              c_flat.re, c_flat.im)
+    t1 = C(re1, im1).reshape(G, d, n_k, d)._map(
+        lambda x: x.transpose(0, 2, 1, 3).reshape(G, n_k * d, d))
+    # stage 2: out[g, (k a), d'] = sum_c T1 W[g, c, d']
+    re2, im2 = ozaki_matmul_c(t1.re, t1.im, w.re, w.im)
+    return C(re2, im2).reshape(G, n_k, d, d)
+
+
 def _first_order_integral_batched(omega: jnp.ndarray, eigvals: jnp.ndarray,
                                   dt: jnp.ndarray) -> C:
     r"""K1: I^{(g)}_{mn}(omega) = (e^{i phi dt_g} - 1)/(i phi),
@@ -335,11 +365,20 @@ def _ctrlmat_step_terms(eigvals, eigvecs, propagators, omega, basis,
         eigvecs_t, props_t, basis_t, nops_t, n_coeffs_t = (
             eigvecs, propagators, basis, n_opers, n_coeffs)
     eigvecs_propagated = _propagate_eigenvectors(props_t, eigvecs_t)
-    n_opers_transformed = _transform_hamiltonian(eigvecs_t, nops_t,
-                                                 n_coeffs_t)
-    basis_transformed = ceinsum('gba,kbc,gcd->gkad',
-                                eigvecs_propagated.conj(), basis_t,
-                                eigvecs_propagated)
+    G, d = eigvals.shape
+    if transform_dtype is None and config.transform_mxu(G * d * d):
+        n_opers_transformed = _conjugate_mxu(eigvecs_t, nops_t)._map(
+            lambda x: x.swapaxes(0, 1))
+        if n_coeffs_t is not None:
+            n_opers_transformed = n_opers_transformed \
+                * jnp.asarray(n_coeffs_t)[:, :, None, None]
+        basis_transformed = _conjugate_mxu(eigvecs_propagated, basis_t)
+    else:
+        n_opers_transformed = _transform_hamiltonian(eigvecs_t, nops_t,
+                                                     n_coeffs_t)
+        basis_transformed = ceinsum('gba,kbc,gcd->gkad',
+                                    eigvecs_propagated.conj(), basis_t,
+                                    eigvecs_propagated)
     phase_factors = cexp(t[:, None] * omega[None, :])        # (G, n_w)
     integral = _first_order_integral_batched(omega, eigvals, dt)
     return (eigvecs_propagated, n_opers_transformed, basis_transformed,

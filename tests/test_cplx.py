@@ -631,3 +631,47 @@ class TestTransformDtype:
         got = functional.control_matrix(p, omega).to_numpy()
         rel = np.abs(got - want).max() / np.abs(want).max()
         assert 0 < rel < 1e-4
+
+
+class TestTransformMxu:
+    """config.transform_mxu / numeric._conjugate_mxu: the EXACT-path
+    MXU conjugation (error-free digit slices of the f64 frame; only
+    ~2^-30 post-hoc result noise, unlike the f32 frame downcast)."""
+
+    def test_gate_defaults(self, monkeypatch):
+        from filter_functions_tpu import config
+        monkeypatch.delenv('FF_TPU_TRANSFORM_MXU', raising=False)
+        if config.contraction_mode() != 'ozaki':
+            # CPU backend: off regardless of depth
+            assert not config.transform_mxu(13 * 256)
+        monkeypatch.setenv('FF_TPU_TRANSFORM_MXU', '1')
+        assert config.transform_mxu(4)
+        monkeypatch.setenv('FF_TPU_TRANSFORM_MXU', '0')
+        assert not config.transform_mxu(13 * 256)
+
+    def test_conjugation_matches_einsum(self, monkeypatch):
+        from filter_functions_tpu import functional
+        from filter_functions_tpu import numeric
+        from testutil import rand_pulse_sequence
+        # direct unit check of the helper
+        local = np.random.default_rng(21)
+        G, d, n_k = 5, 8, 12
+        w = local.standard_normal((G, d, d)) \
+            + 1j * local.standard_normal((G, d, d))
+        k = local.standard_normal((n_k, d, d)) \
+            + 1j * local.standard_normal((n_k, d, d))
+        want = np.einsum('gba,kbc,gcd->gkad', w.conj(), k, w)
+        got = numeric._conjugate_mxu(cplx.asc(w), cplx.asc(k)).to_numpy()
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() / scale < 2**-26
+
+        # end-to-end: forcing the MXU path through the public pipeline
+        pulse = rand_pulse_sequence(4, 6)
+        p = functional.make_pulse_arrays(pulse)
+        omega = jnp.linspace(0.5, 10, 24)
+        monkeypatch.delenv('FF_TPU_TRANSFORM_MXU', raising=False)
+        ref = functional.control_matrix(p, omega).to_numpy()
+        monkeypatch.setenv('FF_TPU_TRANSFORM_MXU', '1')
+        got = functional.control_matrix(p, omega).to_numpy()
+        rel = np.abs(got - ref).max() / np.abs(ref).max()
+        assert rel < 1e-8
