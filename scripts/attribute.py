@@ -77,13 +77,25 @@ def main():
     def s_diag(x):
         return numeric._diagonalize_jit(x, p.dt)
 
+    from filter_functions_tpu import config as ff_config
+    G, d = iv['eigvals'].shape
+    use_mxu = ff_config.transform_mxu(G * d * d)
+
     def s_transforms(x):
         ev, props = x
         out1 = numeric._propagate_eigenvectors(props[:-1], ev)
-        out2 = numeric._transform_hamiltonian(ev, p.n_opers, p.n_coeffs)
+        if use_mxu:
+            out2 = numeric._conjugate_mxu(ev, p.n_opers)._map(
+                lambda a: a.swapaxes(0, 1))
+            out2 = out2 * jnp.asarray(p.n_coeffs)[:, :, None, None]
+        else:
+            out2 = numeric._transform_hamiltonian(ev, p.n_opers,
+                                                  p.n_coeffs)
         return out1, out2
 
     def s_basis_t(x):
+        if use_mxu:
+            return numeric._conjugate_mxu(x, p.basis)
         return ceinsum('gba,kbc,gcd->gkad', x.conj(), p.basis, x)
 
     def s_integral(x):
