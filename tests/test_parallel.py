@@ -229,6 +229,21 @@ def test_batched_infidelity_chunked_matches_vmap():
         with pytest.raises(ValueError):
             functional.batched_infidelity(pb, spectrum, omega,
                                           chunk_size=bad)
+    # single-chunk edge (scan over zero chunks) and jit/grad through
+    # the software-pipelined scan
+    one = functional.batched_infidelity(pb, spectrum, omega,
+                                        chunk_size=batch)
+    assert_allclose(np.asarray(one), np.asarray(full), atol=1e-15)
+
+    def loss(cc, chunk):
+        return functional.batched_infidelity(
+            pb._replace(c_coeffs=cc), spectrum, omega,
+            chunk_size=chunk).sum()
+
+    g_full = jax.grad(loss)(pb.c_coeffs, None)
+    g_chunk = jax.jit(jax.grad(loss), static_argnums=1)(pb.c_coeffs, 2)
+    assert_allclose(np.asarray(g_chunk), np.asarray(g_full), rtol=1e-10,
+                    atol=1e-14)
 
 
 def test_optimize_pulse_batched_coeffs_only():
