@@ -208,7 +208,11 @@ def config_qft(iters=5):
 # -----------------------------------------------------------------------------
 # hadamard: README Y2 @ X single-qubit dephasing + 1/f infidelity
 # -----------------------------------------------------------------------------
-def config_hadamard(iters=5, batch=256, n_omega=400):
+def config_hadamard(iters=5, batch=4096, n_omega=400):
+    # batch 4096 sits past the dispatch-floor knee (scripts/
+    # exp_batch_knee.py: 0.131 ms/pulse at 256 -> 0.025 at 4096); the
+    # tunneled backend costs ~35 ms/call regardless of payload, so
+    # ms/pulse for this tiny d=2 workload is set by amortization.
     import jax
     import jax.numpy as jnp
     from math import pi
@@ -282,7 +286,9 @@ def config_hadamard(iters=5, batch=256, n_omega=400):
 # -----------------------------------------------------------------------------
 # dd: CPMG / UDD trains, parity with analytic closed forms
 # -----------------------------------------------------------------------------
-def config_dd(iters=5, batch=128, n=16, n_omega=400):
+def config_dd(iters=5, batch=1024, n=16, n_omega=400):
+    # batch 1024 amortizes the ~35 ms/call dispatch floor (scripts/
+    # exp_batch_knee.py: 0.59 ms/pulse at 128 -> 0.355 at 1024).
     import jax
     import jax.numpy as jnp
     from filter_functions_tpu import analytic, functional
@@ -453,7 +459,9 @@ def config_second_order(iters=3, n_omega=200, batch=64):
 # -----------------------------------------------------------------------------
 # rb: randomized benchmarking over random Clifford sequences
 # -----------------------------------------------------------------------------
-def config_rb(iters=3, n_seq=128, length=20, n_omega=301):
+def config_rb(iters=3, n_seq=1024, length=20, n_omega=301):
+    # n_seq 1024 amortizes the ~35 ms/call dispatch floor (scripts/
+    # exp_batch_knee.py: 0.28 ms/seq at 128 -> 0.045 at 1024).
     import jax.numpy as jnp
     from filter_functions_tpu.models import rb
 
@@ -593,7 +601,9 @@ def config_concat_train(iters=3, n_pulses=10000, n_omega=400):
 # -----------------------------------------------------------------------------
 # grad: batched analytic infidelity derivatives
 # -----------------------------------------------------------------------------
-def config_grad(iters=3, batch=64, n_omega=200):
+def config_grad(iters=3, batch=256, n_omega=200):
+    # batch 256 amortizes the ~35 ms/call dispatch floor (scripts/
+    # exp_batch_knee.py: 0.59 ms/pulse at 64 -> 0.228 at 256).
     import jax
     import jax.numpy as jnp
     from filter_functions_tpu import functional, util
