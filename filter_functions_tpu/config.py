@@ -247,16 +247,17 @@ def transform_mxu(reduction_depth: int) -> bool:
     error is ~2^-30-level truncation noise on the RESULT -- measured
     1.5e-10 max element error at flagship shapes, far below the
     factored contraction's own operand quantization; flagship parity
-    unchanged.  Default: on exactly when the contraction runs the deep
-    factored path.  Override with FF_TPU_TRANSFORM_MXU=0|1.
+    unchanged.  Default: on whenever the contraction itself runs the
+    Ozaki path (TPU + x64) -- measured wins at both ends of the shape
+    range (flagship d=16 deep: 13.7 -> 11.3 ms/pulse; batched CPMG
+    d=2 shallow: 0.359 -> 0.273 ms/pulse at bit-identical closed-form
+    parity, the emulated-f64 conjugation einsums being elementwise-
+    bound at every d).  Override with FF_TPU_TRANSFORM_MXU=0|1.
     """
     mode = os.environ.get('FF_TPU_TRANSFORM_MXU')
     if mode is not None:
         return mode != '0'
-    from .ops.ozaki import DEFAULT_PRECISION_BITS, _slice_params
-    deep = _slice_params(reduction_depth, DEFAULT_PRECISION_BITS)[0] \
-        in (5, 6)
-    return deep and contraction_mode() == 'ozaki' and ozaki_factored()
+    return contraction_mode() == 'ozaki'
 
 
 def ozaki_factored() -> bool:

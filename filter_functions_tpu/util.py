@@ -443,15 +443,19 @@ def _mdot_scan_split(re: jnp.ndarray, im: jnp.ndarray):
 def _adot_use_sequential(n_mats: int, dim: int) -> bool:
     """Pick the cumulative-product strategy by static shape.
 
-    Long stacks of small matrices (concatenation trains: G up to 1e4,
-    d**2 <= 16) run as a rolled ``lax.scan`` -- O(1) ops to compile
-    regardless of G (the log-depth associative scan unrolls ~log G
-    slice/pad/interleave levels, which costs seconds of XLA compile at
-    G=1e4 and wins nothing on matrices this small).  Short stacks of
-    large matrices keep the log-depth associative scan: batched matmuls
-    fill the MXU and the depth, not the flops, is the bottleneck.
+    Long stacks (concatenation trains: G up to 1e4) run as a rolled
+    ``lax.scan`` -- O(1) ops to compile regardless of G (the log-depth
+    associative scan unrolls ~log G slice/pad/interleave levels, which
+    costs seconds of XLA compile at G=1e4 and wins nothing when the
+    serial step is this small).  Short stacks take the log-depth
+    associative scan at EVERY dim: large matrices fill the MXU per
+    level, and for small ones vmapped over a pulse batch the rolled
+    scan's G serial steps are pure latency (batched CPMG-16, d=2,
+    G=33, batch 1024: the scan's 32 dependent steps dominate the
+    diagonalization stage, while the assoc scan runs 6 levels of
+    batch-parallel matmuls).
     """
-    return n_mats > 256 or dim <= 16
+    return n_mats > 256
 
 
 def adot(arr, axis: int = 0):
