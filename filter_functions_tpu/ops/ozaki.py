@@ -159,7 +159,8 @@ def ozaki_matmul(a: jnp.ndarray, b: jnp.ndarray,
     propagate through Ozaki products as well, so optimal-control
     gradients keep high precision.
     """
-    return _ozaki_matmul_impl(a, b, precision_bits, _mxu_mode())
+    return _ozaki_matmul_impl(a, b, precision_bits, _mxu_mode(),
+                              _recomb_mode())
 
 
 #: Deepest reduction handled in one pass (slice_bits = 4); deeper
@@ -167,10 +168,12 @@ def ozaki_matmul(a: jnp.ndarray, b: jnp.ndarray,
 _MAX_K = 2**(_ACC_BITS - 2 * 4)
 
 
-@functools.partial(jax.jit, static_argnames=('precision_bits', 'mxu'))
+@functools.partial(jax.jit,
+                   static_argnames=('precision_bits', 'mxu', 'recomb'))
 def _ozaki_matmul_impl(a: jnp.ndarray, b: jnp.ndarray,
                        precision_bits: int = DEFAULT_PRECISION_BITS,
-                       mxu: str = 'bf16') -> jnp.ndarray:
+                       mxu: str = 'bf16',
+                       recomb: str = 'f64') -> jnp.ndarray:
     K = a.shape[-1]
     if K > _MAX_K:
         # Chunk the reduction axis: each chunk's slice products stay
@@ -188,14 +191,14 @@ def _ozaki_matmul_impl(a: jnp.ndarray, b: jnp.ndarray,
         out = None
         for c in range(n_chunks):
             term = _ozaki_matmul_impl(a_c[c], b_c[c], precision_bits,
-                                      mxu)
+                                      mxu, recomb)
             out = term if out is None else out + term
         return out
 
     slice_bits, n_slices = _slice_params(K, precision_bits, mxu)
     a_sl, a_scale = _slice_fixed_point(a, -1, n_slices, slice_bits, mxu)
     b_sl, b_scale = _slice_fixed_point(b, -2, n_slices, slice_bits, mxu)
-    out = _matmul_from_slices(a_sl, b_sl, slice_bits, a.ndim)
+    out = _matmul_from_slices(a_sl, b_sl, slice_bits, a.ndim, recomb)
     return out * a_scale * b_scale
 
 
@@ -219,20 +222,63 @@ def _slice_params(K: int, precision_bits: int,
     return slice_bits, max_level + 1
 
 
-def _matmul_from_slices(a_sl, b_sl, slice_bits: int, ndim: int):
+def _recomb_mode() -> str:
+    """How the int8 path widens and sums its per-level int32 outputs:
+    'ds' (default) double-single two-float32 arithmetic on the VPU,
+    'f64' emulated-f64 widening per level.  Override with
+    FF_TPU_OZAKI_RECOMB.  Read eagerly per public call and passed down
+    as a static argument (like FF_TPU_OZAKI_MXU), so toggling the env
+    var between calls switches executables; inside a user jit it is
+    (necessarily) baked in at trace time."""
+    return os.environ.get('FF_TPU_OZAKI_RECOMB', 'ds')
+
+
+def _ds_from_int32(v: jnp.ndarray):
+    """Exact double-single (hi, lo) f32 representation of an int32
+    level sum: hi is a multiple of 2^16 with <= 15 significant bits,
+    lo sits in [0, 2^16) -- both convert to f32 without rounding."""
+    hi_i = jnp.right_shift(v, 16) << 16
+    return (hi_i.astype(jnp.float32), (v - hi_i).astype(jnp.float32))
+
+
+def _ds_add(a, b):
+    """Two-float Knuth/Dekker addition: (ah, al) + (bh, bl) with
+    ~2^-48 relative error, all in native f32 VPU ops."""
+    ah, al = a
+    bh, bl = b
+    s = ah + bh
+    v = s - ah
+    e = (ah - (s - v)) + (bh - v)
+    e = e + (al + bl)
+    hi = s + e
+    return hi, e - (hi - s)
+
+
+def _matmul_from_slices(a_sl, b_sl, slice_bits: int, ndim: int,
+                        recomb: str = 'f64'):
     """sum_{i+j <= L} 2^{-slice_bits (i+j)} A_i @ B_j on the MXU.
 
     bf16 digits accumulate exactly in f32 and widen to f64 per product;
-    int8 digits accumulate exactly in *int32*, and whole levels sum in
-    native int32 before the (emulated-f64) widening -- one conversion
-    per level instead of one per product.  (Collapsing each level to a
-    single K-concatenated matmul was measured SLOWER -- 18.0 vs 15.4
-    ms/pulse on the flagship -- the int8 concat materialization costs
-    more than XLA's dispatch of the separate pair products.)
-    """
+    int8 digits accumulate exactly in *int32* and whole levels sum in
+    native int32.  (Collapsing each level to a single K-concatenated
+    matmul was measured SLOWER -- 18.0 vs 15.4 ms/pulse on the
+    flagship -- the int8 concat materialization costs more than XLA's
+    dispatch of the separate pair products.)
+
+    The cross-level recombination sum_s 2^{-slice_bits s} L_s is the
+    dominant non-MXU cost of the int8 path when done in emulated f64
+    (n_slices full-size widen+scale+add sweeps per Gauss component).
+    Mode 'ds' (default, :func:`_recomb_mode`) runs it in double-single
+    two-float32 arithmetic instead: the int32 -> (hi, lo) f32 split is
+    exact, the 2^{-slice_bits s} scales are powers of two (exact f32
+    exponent shifts), and the two-float adds keep ~48 result bits --
+    well beyond the <= 31 bits a level sum carries -- so the single
+    final f64 widening reproduces the f64-path result to ~2^-48
+    relative, at native f32 VPU speed."""
     n_slices = len(a_sl)
     int8 = a_sl[0].dtype == jnp.int8
     acc_t = jnp.int32 if int8 else jnp.float32
+    ds = int8 and recomb == 'ds'
     batch = tuple(range(ndim - 2))
     dims = (((ndim - 1,), (ndim - 2,)), (batch, batch))
     out = None
@@ -249,21 +295,32 @@ def _matmul_from_slices(a_sl, b_sl, slice_bits: int, ndim: int):
             if not int8:
                 prod = prod.astype(jnp.float64)
             level = prod if level is None else level + prod
-        term = level.astype(jnp.float64) * (2.0**(-slice_bits * s))
-        out = term if out is None else out + term
+        if ds:
+            scale = jnp.float32(2.0**(-slice_bits * s))
+            hi, lo = _ds_from_int32(level)
+            term = (hi * scale, lo * scale)
+            out = term if out is None else _ds_add(out, term)
+        else:
+            term = level.astype(jnp.float64) * (2.0**(-slice_bits * s))
+            out = term if out is None else out + term
+    if ds:
+        return out[0].astype(jnp.float64) + out[1].astype(jnp.float64)
     return out
 
 
 def _ozaki_fwd(a, b, precision_bits):
-    return _ozaki_matmul_impl(a, b, precision_bits, _mxu_mode()), (a, b)
+    return _ozaki_matmul_impl(a, b, precision_bits, _mxu_mode(),
+                              _recomb_mode()), (a, b)
 
 
 def _ozaki_bwd(precision_bits, res, g):
     a, b = res
     # d/da (a @ b) . g = g @ b^T ;  d/db (a @ b) . g = a^T @ g
-    mxu = _mxu_mode()
-    da = _ozaki_matmul_impl(g, b.swapaxes(-1, -2), precision_bits, mxu)
-    db = _ozaki_matmul_impl(a.swapaxes(-1, -2), g, precision_bits, mxu)
+    mxu, recomb = _mxu_mode(), _recomb_mode()
+    da = _ozaki_matmul_impl(g, b.swapaxes(-1, -2), precision_bits, mxu,
+                            recomb)
+    db = _ozaki_matmul_impl(a.swapaxes(-1, -2), g, precision_bits, mxu,
+                            recomb)
     return da, db
 
 
@@ -295,14 +352,17 @@ def ozaki_matmul_c(a_re, a_im, b_re, b_im,
     Returns (re, im) of shape (..., M, N).
     """
     return _ozaki_matmul_c_impl(a_re, a_im, b_re, b_im, precision_bits,
-                                _cmul_mode(), _mxu_mode())
+                                _cmul_mode(), _mxu_mode(),
+                                _recomb_mode())
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('precision_bits', 'cmul', 'mxu'))
+                   static_argnames=('precision_bits', 'cmul', 'mxu',
+                                    'recomb'))
 def _ozaki_matmul_c_impl(a_re, a_im, b_re, b_im,
                          precision_bits: int = DEFAULT_PRECISION_BITS,
-                         cmul: str = '3', mxu: str = 'bf16'):
+                         cmul: str = '3', mxu: str = 'bf16',
+                         recomb: str = 'f64'):
     K = a_re.shape[-1]
     if K > _MAX_K:
         # chunk the reduction exactly as the real path does
@@ -325,7 +385,8 @@ def _ozaki_matmul_c_impl(a_re, a_im, b_re, b_im,
         out_re = out_im = None
         for c in range(n_chunks):
             t_re, t_im = _ozaki_matmul_c_impl(ar[c], ai[c], br[c], bi[c],
-                                              precision_bits, cmul, mxu)
+                                              precision_bits, cmul, mxu,
+                                              recomb)
             out_re = t_re if out_re is None else out_re + t_re
             out_im = t_im if out_im is None else out_im + t_im
         return out_re, out_im
@@ -348,24 +409,24 @@ def _ozaki_matmul_c_impl(a_re, a_im, b_re, b_im,
         # 4-multiplication form: one fewer slicing of each operand
         # (the f64-elementwise-bound step) at the cost of one more
         # bf16 matmul set (the cheap MXU step).
-        p_rr = _matmul_from_slices(ar_sl, br_sl, slice_bits, ndim) \
-            * (ar_sc * br_sc)
-        p_ii = _matmul_from_slices(ai_sl, bi_sl, slice_bits, ndim) \
-            * (ai_sc * bi_sc)
-        p_ri = _matmul_from_slices(ar_sl, bi_sl, slice_bits, ndim) \
-            * (ar_sc * bi_sc)
-        p_ir = _matmul_from_slices(ai_sl, br_sl, slice_bits, ndim) \
-            * (ai_sc * br_sc)
+        p_rr = _matmul_from_slices(ar_sl, br_sl, slice_bits, ndim,
+                                   recomb) * (ar_sc * br_sc)
+        p_ii = _matmul_from_slices(ai_sl, bi_sl, slice_bits, ndim,
+                                   recomb) * (ai_sc * bi_sc)
+        p_ri = _matmul_from_slices(ar_sl, bi_sl, slice_bits, ndim,
+                                   recomb) * (ar_sc * bi_sc)
+        p_ir = _matmul_from_slices(ai_sl, br_sl, slice_bits, ndim,
+                                   recomb) * (ai_sc * br_sc)
         return p_rr - p_ii, p_ri + p_ir
 
     as_sl, as_sc = sl_a(a_re + a_im)
     bs_sl, bs_sc = sl_b(b_re + b_im)
-    p1 = _matmul_from_slices(ar_sl, br_sl, slice_bits, ndim) \
-        * (ar_sc * br_sc)
-    p2 = _matmul_from_slices(ai_sl, bi_sl, slice_bits, ndim) \
-        * (ai_sc * bi_sc)
-    p3 = _matmul_from_slices(as_sl, bs_sl, slice_bits, ndim) \
-        * (as_sc * bs_sc)
+    p1 = _matmul_from_slices(ar_sl, br_sl, slice_bits, ndim,
+                             recomb) * (ar_sc * br_sc)
+    p2 = _matmul_from_slices(ai_sl, bi_sl, slice_bits, ndim,
+                             recomb) * (ai_sc * bi_sc)
+    p3 = _matmul_from_slices(as_sl, bs_sl, slice_bits, ndim,
+                             recomb) * (as_sc * bs_sc)
     return p1 - p2, p3 - p1 - p2
 
 
@@ -438,14 +499,17 @@ def ozaki_matmul_c_outer(p_re, p_im, b_re, b_im, c_re, c_im,
     caller falls back to :func:`ozaki_matmul_c` otherwise.
     """
     return _ozaki_matmul_c_outer_impl(p_re, p_im, b_re, b_im, c_re,
-                                      c_im, precision_bits, _mxu_mode())
+                                      c_im, precision_bits, _mxu_mode(),
+                                      _recomb_mode())
 
 
-@functools.partial(jax.jit, static_argnames=('precision_bits', 'mxu'))
+@functools.partial(jax.jit,
+                   static_argnames=('precision_bits', 'mxu', 'recomb'))
 def _ozaki_matmul_c_outer_impl(p_re, p_im, b_re, b_im, c_re, c_im,
                                precision_bits: int
                                = DEFAULT_PRECISION_BITS,
-                               mxu: str = 'bf16'):
+                               mxu: str = 'bf16',
+                               recomb: str = 'f64'):
     K = p_re.shape[-1]
     slice_bits, n_p = _slice_params(K, precision_bits, mxu)
     if slice_bits not in (5, 6, 7) or K <= 256:
@@ -543,7 +607,8 @@ def _ozaki_matmul_c_outer_impl(p_re, p_im, b_re, b_im, c_re, c_im,
     def mm(a_sl, a_sc, d):
         d_sl, d_sc = d
         n = min(len(a_sl), len(d_sl))
-        out = _matmul_from_slices(a_sl[:n], d_sl[:n], slice_bits, ndim)
+        out = _matmul_from_slices(a_sl[:n], d_sl[:n], slice_bits, ndim,
+                                  recomb)
         return out * a_sc * d_sc
 
     p1 = mm(pr_sl, pr_sc, outs[0])
@@ -555,7 +620,8 @@ def _ozaki_matmul_c_outer_impl(p_re, p_im, b_re, b_im, c_re, c_im,
 
 def _ozaki_c_fwd(a_re, a_im, b_re, b_im, precision_bits):
     return (_ozaki_matmul_c_impl(a_re, a_im, b_re, b_im, precision_bits,
-                                 _cmul_mode(), _mxu_mode()),
+                                 _cmul_mode(), _mxu_mode(),
+                                 _recomb_mode()),
             (a_re, a_im, b_re, b_im))
 
 
@@ -564,13 +630,15 @@ def _ozaki_c_bwd(precision_bits, res, g):
     g_re, g_im = g
     # da = g @ conj(b)^T, db = conj(a)^T @ g (complex product rules on
     # split components)
-    cmul, mxu = _cmul_mode(), _mxu_mode()
+    cmul, mxu, recomb = _cmul_mode(), _mxu_mode(), _recomb_mode()
     bt_re, bt_im = b_re.swapaxes(-1, -2), b_im.swapaxes(-1, -2)
     at_re, at_im = a_re.swapaxes(-1, -2), a_im.swapaxes(-1, -2)
     da_re, da_im = _ozaki_matmul_c_impl(g_re, g_im, bt_re, -bt_im,
-                                        precision_bits, cmul, mxu)
+                                        precision_bits, cmul, mxu,
+                                        recomb)
     db_re, db_im = _ozaki_matmul_c_impl(at_re, -at_im, g_re, g_im,
-                                        precision_bits, cmul, mxu)
+                                        precision_bits, cmul, mxu,
+                                        recomb)
     return da_re, da_im, db_re, db_im
 
 

@@ -411,6 +411,53 @@ class TestOzakiMxuModes:
         assert np.abs(got - want).max() / scale < 2**-22, mode
 
 
+class TestOzakiRecomb:
+    """FF_TPU_OZAKI_RECOMB selects how the int8 path widens and sums
+    its per-level int32 matmul outputs: 'ds' (default) double-single
+    two-float32 arithmetic on the VPU, 'f64' emulated-f64 widening.
+    The ds path must reproduce the f64-path result to double-single
+    accuracy (~2^-48 of the running sum: the int32 -> (hi, lo) f32
+    split is exact and the power-of-two level scales round nothing)."""
+
+    def test_ds_matches_f64_real(self, monkeypatch):
+        from filter_functions_tpu.ops.ozaki import ozaki_matmul
+        monkeypatch.setenv('FF_TPU_OZAKI_MXU', 'int8')
+        local = np.random.default_rng(14)
+        a = jnp.asarray(local.standard_normal((24, 3000))
+                        * np.exp(local.standard_normal((24, 1)) * 4))
+        b = jnp.asarray(local.standard_normal((3000, 16))
+                        * np.exp(local.standard_normal((1, 16)) * 4))
+        monkeypatch.setenv('FF_TPU_OZAKI_RECOMB', 'f64')
+        want = np.asarray(ozaki_matmul(a, b))
+        # same shapes on purpose: pins that the env toggle switches
+        # executables per call instead of reusing the jit cache
+        monkeypatch.setenv('FF_TPU_OZAKI_RECOMB', 'ds')
+        got = np.asarray(ozaki_matmul(a, b))
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() / scale < 2**-44
+
+    def test_ds_matches_f64_factored(self, monkeypatch):
+        from filter_functions_tpu.ops.ozaki import ozaki_matmul_c_outer
+        monkeypatch.setenv('FF_TPU_OZAKI_MXU', 'int8')
+        local = np.random.default_rng(15)
+        K, M, J, Cc = 2048, 16, 3, 16
+        P = local.standard_normal((M, K)) + 1j * local.standard_normal(
+            (M, K))
+        B = local.standard_normal((K, J)) + 1j * local.standard_normal(
+            (K, J))
+        Cm = local.standard_normal((K, Cc)) + 1j * local.standard_normal(
+            (K, Cc))
+        args = [jnp.asarray(x) for x in (P.real, P.imag, B.real, B.imag,
+                                         Cm.real, Cm.imag)]
+        monkeypatch.setenv('FF_TPU_OZAKI_RECOMB', 'f64')
+        w_re, w_im = ozaki_matmul_c_outer(*args)
+        monkeypatch.setenv('FF_TPU_OZAKI_RECOMB', 'ds')
+        g_re, g_im = ozaki_matmul_c_outer(*args)
+        want = np.asarray(w_re) + 1j * np.asarray(w_im)
+        got = np.asarray(g_re) + 1j * np.asarray(g_im)
+        assert np.abs(got - want).max() / np.abs(want).max() < 2**-44
+
+
 class TestOzakiFactored:
     """ops.ozaki.ozaki_matmul_c_outer: the factored-operand complex
     matmul whose D = B (*) C digit slices come from native int32
