@@ -500,16 +500,33 @@ def ozaki_matmul_c_outer(p_re, p_im, b_re, b_im, c_re, c_im,
     """
     return _ozaki_matmul_c_outer_impl(p_re, p_im, b_re, b_im, c_re,
                                       c_im, precision_bits, _mxu_mode(),
-                                      _recomb_mode())
+                                      _recomb_mode(), _dword_mode())
+
+
+def _dword_mode() -> str:
+    """How the factored path forms the D digit slices: 'pallas'
+    (default on TPU backends) the fused Pallas kernel
+    (ops/dword_pallas) when the shape supports it, 'xla' the unfused
+    op pipeline (and the only option off-TPU, where Mosaic cannot
+    lower).  Both are bit-exact against each other (the kernel runs
+    the identical int32 arithmetic).  Read eagerly per public call and
+    threaded as a static jit argument; override with
+    FF_TPU_OZAKI_DWORD."""
+    mode = os.environ.get('FF_TPU_OZAKI_DWORD')
+    if mode is not None:
+        return mode
+    return 'xla' if jax.default_backend() == 'cpu' else 'pallas'
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('precision_bits', 'mxu', 'recomb'))
+                   static_argnames=('precision_bits', 'mxu', 'recomb',
+                                    'dword'))
 def _ozaki_matmul_c_outer_impl(p_re, p_im, b_re, b_im, c_re, c_im,
                                precision_bits: int
                                = DEFAULT_PRECISION_BITS,
                                mxu: str = 'bf16',
-                               recomb: str = 'f64'):
+                               recomb: str = 'f64',
+                               dword: str = 'xla'):
     K = p_re.shape[-1]
     slice_bits, n_p = _slice_params(K, precision_bits, mxu)
     if slice_bits not in (5, 6, 7) or K <= 256:
@@ -557,6 +574,32 @@ def _ozaki_matmul_c_outer_impl(p_re, p_im, b_re, b_im, c_re, c_im,
 
     zbr, zbi, eb = fix(b_re, b_im)
     zcr, zci, ec = fix(c_re, c_im)
+
+    M = p_re.shape[-2]
+    J, Cc = b_re.shape[-1], c_re.shape[-1]
+    ndim = p_re.ndim
+    nbits = n_d * slice_bits
+    e_bc = (eb[..., :, None] + ec[..., None, :]).reshape(
+        *eb.shape[:-1], J * Cc)
+
+    from . import dword_pallas
+    if (dword == 'pallas' and mxu == 'int8'
+            and dword_pallas.supported(zbr.shape[0], J, Cc, zbr.ndim)):
+        # fused Pallas kernel: identical int32 split/word/shift/peel
+        # arithmetic, but the (K, J*Cc) word lattices of the three
+        # Gauss components never leave VMEM (ops/dword_pallas)
+        digits, dshifts = dword_pallas.dword_digits(
+            zbr, zbi, zcr, zci, n_d=n_d, slice_bits=slice_bits)
+        outs = []
+        for t in range(3):
+            d_sl = [digits[t, s] for s in range(n_d)]
+            d_sc = jnp.exp2((e_bc - 28 - dshifts[t]
+                             + (nbits - slice_bits)).astype(jnp.float64)
+                            )[..., None, :]
+            outs.append((d_sl, d_sc))
+        return _outer_contract(pr_sl, pr_sc, pi_sl, pi_sc, ps_sl, ps_sc,
+                               outs, slice_bits, ndim, recomb)
+
     sb1, sb0 = _split12(zbr)
     si1, si0 = _split12(zbi)
     sc1, sc0 = _split12(zcr)
@@ -571,12 +614,6 @@ def _ozaki_matmul_c_outer_impl(p_re, p_im, b_re, b_im, c_re, c_im,
                w_ri + w_ir,                 # Di
                (w_rr - w_ii) + (w_ri + w_ir))   # Dr + Di (Gauss)
 
-    M = p_re.shape[-2]
-    J, Cc = b_re.shape[-1], c_re.shape[-1]
-    ndim = p_re.ndim
-    e_bc = (eb[..., :, None] + ec[..., None, :]).reshape(
-        *eb.shape[:-1], J * Cc)
-
     outs = []
     for w in d_comps:
         w = w.reshape(*w.shape[:-2], J * Cc)
@@ -587,7 +624,6 @@ def _ozaki_matmul_c_outer_impl(p_re, p_im, b_re, b_im, c_re, c_im,
         # silently wraps.  The rounded right shift costs <= 0.5 ulp of
         # the 28-bit window -- relative column precision is uniform.
         colmax = jnp.max(jnp.abs(w), axis=-2, keepdims=False)
-        nbits = n_d * slice_bits
         # bit length via float log2 (exact for int32 magnitudes)
         e_w = jnp.ceil(jnp.log2(jnp.maximum(colmax, 1).astype(
             jnp.float64))).astype(jnp.int32)
@@ -604,6 +640,14 @@ def _ozaki_matmul_c_outer_impl(p_re, p_im, b_re, b_im, c_re, c_im,
                         )[..., None, :]
         outs.append((d_sl, d_sc))
 
+    return _outer_contract(pr_sl, pr_sc, pi_sl, pi_sc, ps_sl, ps_sc,
+                           outs, slice_bits, ndim, recomb)
+
+
+def _outer_contract(pr_sl, pr_sc, pi_sl, pi_sc, ps_sl, ps_sc, outs,
+                    slice_bits, ndim, recomb):
+    """Slice matmuls + Gauss recombination of the factored path
+    (shared by the XLA and Pallas D-side digit producers)."""
     def mm(a_sl, a_sc, d):
         d_sl, d_sc = d
         n = min(len(a_sl), len(d_sl))

@@ -458,6 +458,88 @@ class TestOzakiRecomb:
         assert np.abs(got - want).max() / np.abs(want).max() < 2**-44
 
 
+class TestDwordPallas:
+    """ops/dword_pallas: the fused Pallas D-digit kernel must be
+    BIT-EXACT against the unfused XLA arithmetic of
+    _ozaki_matmul_c_outer_impl (same int32 split/word/shift/peel
+    expressions).  On CPU the kernel runs in interpret mode; on TPU
+    the compiled kernel is the factored path's default D producer."""
+
+    def _xla_reference(self, zbr, zbi, zcr, zci, n_d, slice_bits):
+        from filter_functions_tpu.ops import ozaki
+        K, J = zbr.shape
+        C = zcr.shape[1]
+        sb1, sb0 = ozaki._split12(zbr)
+        si1, si0 = ozaki._split12(zbi)
+        sc1, sc0 = ozaki._split12(zcr)
+        sd1, sd0 = ozaki._split12(zci)
+
+        def outer(b1, b0, c1, c0):
+            p2 = b1[:, :, None] * c1[:, None, :]
+            p1 = (b1[:, :, None] * c0[:, None, :]
+                  + b0[:, :, None] * c1[:, None, :])
+            p0 = b0[:, :, None] * c0[:, None, :]
+            return (p2 << 6) + (
+                (p1 + ((p0 + (1 << 11)) >> 12) + (1 << 5)) >> 6)
+
+        w_rr = outer(sb1, sb0, sc1, sc0)
+        w_ii = outer(si1, si0, sd1, sd0)
+        w_ri = outer(sb1, sb0, sd1, sd0)
+        w_ir = outer(si1, si0, sc1, sc0)
+        comps = (w_rr - w_ii, w_ri + w_ir,
+                 (w_rr - w_ii) + (w_ri + w_ir))
+        nbits = n_d * slice_bits
+        digits, shifts = [], []
+        for w in comps:
+            w = w.reshape(K, J * C)
+            colmax = np.abs(w).max(0)
+            e_w = np.ceil(np.log2(np.maximum(colmax, 1).astype(
+                np.float64))).astype(np.int32)
+            shift = min(nbits, 30) - 1 - e_w
+            ls = np.maximum(shift, 0)[None, :]
+            rs = np.maximum(-shift, 0)[None, :]
+            half = (np.int32(1) << rs) >> 1
+            z = ((w << ls) + half) >> rs
+            sl = []
+            for k in range(n_d - 1, 0, -1):
+                sh = slice_bits * k
+                d = (z + (1 << (sh - 1))) >> sh
+                sl.append(d.astype(np.int8))
+                z = z - (d << sh)
+            sl.append(z.astype(np.int8))
+            digits.append(np.stack(sl))
+            shifts.append(shift)
+        return np.stack(digits), np.stack(shifts)
+
+    def test_kernel_bit_exact(self):
+        from filter_functions_tpu.ops import dword_pallas as dp
+        if not dp._HAVE_PALLAS:
+            pytest.skip('pallas unavailable')
+        K, J, C = 512, 3, 128
+        assert dp.supported(K, J, C, 2)
+        local = np.random.default_rng(16)
+        mk = lambda shape: local.integers(-2**23, 2**23, shape,
+                                          dtype=np.int32)
+        zbr, zbi, zcr, zci = mk((K, J)), mk((K, J)), mk((K, C)), \
+            mk((K, C))
+        interpret = jax.default_backend() == 'cpu'
+        digits, shifts = dp.dword_digits(
+            jnp.asarray(zbr), jnp.asarray(zbi), jnp.asarray(zcr),
+            jnp.asarray(zci), n_d=4, slice_bits=7, interpret=interpret)
+        want_d, want_s = self._xla_reference(zbr, zbi, zcr, zci, 4, 7)
+        assert np.array_equal(np.asarray(shifts), want_s)
+        assert np.array_equal(np.asarray(digits), want_d)
+
+    def test_supported_gate(self):
+        from filter_functions_tpu.ops import dword_pallas as dp
+        if not dp._HAVE_PALLAS:
+            pytest.skip('pallas unavailable')
+        assert not dp.supported(3328, 18, 100, 2)     # C not lane-tiled
+        assert not dp.supported(3328, 18, 256, 3)     # batched factors
+        assert not dp.supported(7, 18, 256, 2)        # no K chunking
+        assert dp.supported(3328, 18, 256, 2)
+
+
 class TestOzakiFactored:
     """ops.ozaki.ozaki_matmul_c_outer: the factored-operand complex
     matmul whose D = B (*) C digit slices come from native int32
