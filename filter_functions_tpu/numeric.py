@@ -455,7 +455,7 @@ def _ctrlmat_contract(n_opers_transformed, integral, basis_transformed,
                                                       n_basis))
         out_re, out_im = ozaki_matmul_c_outer(
             p_big.re, p_big.im, b_fac.re, b_fac.im, c_fac.re, c_fac.im,
-            precision_bits=bits)
+            bits)
     else:
         # D[g, m*n, j*k] = B[j, g, m, n] * C[g, k, n, m]
         b_t = cast(n_opers_transformed, f_d)._map(

@@ -478,6 +478,7 @@ def _peel_int(v, n_slices: int, slice_bits: int,
     return slices
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
 def ozaki_matmul_c_outer(p_re, p_im, b_re, b_im, c_re, c_im,
                          precision_bits: int = DEFAULT_PRECISION_BITS):
     r"""Complex ``P @ D`` where ``D[k, (j c)] = B[k, j] * C[k, c]`` is
@@ -497,10 +498,65 @@ def ozaki_matmul_c_outer(p_re, p_im, b_re, b_im, c_re, c_im,
     Returns (re, im) of shape (M, J * Cc) in f64.  Requires the
     K-adapted slice width to be 5-7 bits (256 < K <= 16384); the
     caller falls back to :func:`ozaki_matmul_c` otherwise.
+
+    Differentiable in reverse mode via a custom VJP: the digit
+    pipeline is round/int arithmetic (zero literal gradients, and the
+    Pallas kernel has no AD rule at all), so the backward pass applies
+    the product rule on the MATHEMATICAL map (P, B, C) -> P @ D --
+    dP = g D^H (an ozaki_matmul_c), dD = P^H g, then the row-wise
+    outer-product chain dB[k,j] = sum_c dD[k,(jc)] conj(C[k,c]) and
+    dC[k,c] = sum_j dD[k,(jc)] conj(B[k,j]).
     """
     return _ozaki_matmul_c_outer_impl(p_re, p_im, b_re, b_im, c_re,
                                       c_im, precision_bits, _mxu_mode(),
                                       _recomb_mode(), _dword_mode())
+
+
+def _ozaki_c_outer_fwd(p_re, p_im, b_re, b_im, c_re, c_im,
+                       precision_bits):
+    out = _ozaki_matmul_c_outer_impl(p_re, p_im, b_re, b_im, c_re,
+                                     c_im, precision_bits, _mxu_mode(),
+                                     _recomb_mode(), _dword_mode())
+    return out, (p_re, p_im, b_re, b_im, c_re, c_im)
+
+
+def _ozaki_c_outer_bwd(precision_bits, res, g):
+    p_re, p_im, b_re, b_im, c_re, c_im = res
+    g_re, g_im = g
+    K = p_re.shape[-1]
+    J, Cc = b_re.shape[-1], c_re.shape[-1]
+    # D (K, J*Cc) materialized once, for the backward pass only
+    d_re = (b_re[..., :, None] * c_re[..., None, :]
+            - b_im[..., :, None] * c_im[..., None, :]).reshape(
+        *b_re.shape[:-1], J * Cc)
+    d_im = (b_re[..., :, None] * c_im[..., None, :]
+            + b_im[..., :, None] * c_re[..., None, :]).reshape(
+        *b_re.shape[:-1], J * Cc)
+    cmul, mxu, recomb = _cmul_mode(), _mxu_mode(), _recomb_mode()
+    # dP = g @ conj(D)^T  (M, K)
+    dp_re, dp_im = _ozaki_matmul_c_impl(
+        g_re, g_im, d_re.swapaxes(-1, -2), -d_im.swapaxes(-1, -2),
+        precision_bits, cmul, mxu, recomb)
+    # dD = conj(P)^T @ g  (K, J*Cc)
+    dd_re, dd_im = _ozaki_matmul_c_impl(
+        p_re.swapaxes(-1, -2), -p_im.swapaxes(-1, -2), g_re, g_im,
+        precision_bits, cmul, mxu, recomb)
+    dd_re = dd_re.reshape(*dd_re.shape[:-1], J, Cc)
+    dd_im = dd_im.reshape(*dd_im.shape[:-1], J, Cc)
+    # dB = sum_c dD * conj(C); dC = sum_j dD * conj(B) -- tiny tensors
+    db_re = jnp.einsum('...kjc,...kc->...kj', dd_re, c_re) \
+        + jnp.einsum('...kjc,...kc->...kj', dd_im, c_im)
+    db_im = jnp.einsum('...kjc,...kc->...kj', dd_im, c_re) \
+        - jnp.einsum('...kjc,...kc->...kj', dd_re, c_im)
+    dc_re = jnp.einsum('...kjc,...kj->...kc', dd_re, b_re) \
+        + jnp.einsum('...kjc,...kj->...kc', dd_im, b_im)
+    dc_im = jnp.einsum('...kjc,...kj->...kc', dd_im, b_re) \
+        - jnp.einsum('...kjc,...kj->...kc', dd_re, b_im)
+    return (dp_re.astype(p_re.dtype), dp_im.astype(p_im.dtype),
+            db_re, db_im, dc_re, dc_im)
+
+
+ozaki_matmul_c_outer.defvjp(_ozaki_c_outer_fwd, _ozaki_c_outer_bwd)
 
 
 def _dword_mode() -> str:

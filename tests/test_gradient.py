@@ -212,3 +212,37 @@ class TestJaxGrad:
         order = np.argsort(c_ids)
         assert_allclose(grad_ad[order].T, grad_cf[0], rtol=1e-8,
                         atol=1e-12)
+
+    def test_jax_grad_through_deep_factored_contraction(self,
+                                                        monkeypatch):
+        """jax.grad through the DEEP Ozaki regime (K = G d^2 > 1024:
+        int32-factored D, Pallas/XLA digit pipeline) must agree with
+        the grad of the native-einsum contraction -- the factored path
+        is round/int arithmetic whose literal gradient is zero, so
+        this pins the ozaki_matmul_c_outer custom VJP inside the full
+        control-matrix pipeline."""
+        arrays = rand_pulse_arrays(4, 80, n_cops=2, n_nops=1)
+        c_opers, c_ids, c_coeffs, n_opers, n_ids, n_coeffs, dt = arrays
+        omega = np.linspace(0.1, 10, 11)
+        basis = ff.Basis.ggm(4)
+        assert 80 * 16 > 1024      # deep regime
+
+        def loss(cc, mode):
+            monkeypatch.setenv('FF_TPU_CONTRACT', mode)
+            try:
+                ham = ff.util.ceinsum('jmn,jg->gmn', cplx.asc(c_opers),
+                                      cc)
+                eigvals, eigvecs, props = numeric.diagonalize(
+                    ham, jnp.asarray(dt))
+                ctrl = numeric.calculate_control_matrix_from_scratch(
+                    eigvals, eigvecs, props, jnp.asarray(omega), basis,
+                    cplx.asc(n_opers), n_coeffs, dt)
+                return (ctrl.re**2 + ctrl.im**2).sum()
+            finally:
+                monkeypatch.delenv('FF_TPU_CONTRACT', raising=False)
+
+        cc = jnp.asarray(c_coeffs)
+        g_native = np.asarray(jax.grad(lambda c: loss(c, 'native'))(cc))
+        g_ozaki = np.asarray(jax.grad(lambda c: loss(c, 'ozaki'))(cc))
+        scale = np.abs(g_native).max()
+        assert np.abs(g_ozaki - g_native).max() / scale < 1e-5
