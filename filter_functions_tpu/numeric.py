@@ -648,9 +648,14 @@ def calculate_control_matrix_periodic(phases, control_matrix,
     check is needed, so *check_invertible* is accepted for API
     compatibility and ignored.
     """
-    phases = asc(phases)
-    ctrl = asc(control_matrix)
-    props = asc(total_propagator_liouville)
+    return _ctrl_periodic(asc(phases), asc(control_matrix),
+                          asc(total_propagator_liouville), int(repeats))
+
+
+@functools.partial(jax.jit, static_argnums=3)
+def _ctrl_periodic(phases: C, ctrl: C, props: C, repeats: int) -> C:
+    # one fused executable: the ~2 log2 G doubling matmuls would
+    # otherwise each pay an eager dispatch (host-bound for small d)
     t_mat = C(phases.re[:, None, None] * props.re[None]
               - phases.im[:, None, None] * props.im[None],
               phases.re[:, None, None] * props.im[None]

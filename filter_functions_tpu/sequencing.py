@@ -207,6 +207,18 @@ def concatenate_without_filter_function(
     except TypeError:
         raise TypeError(f'Expected pulses to be iterable, not '
                         f'{type(pulses)}')
+    if len(pulses) > 1 and len(set(map(id, pulses))) == 1:
+        # uniform train: skip the O(G) union/validation machinery
+        newpulse = _uniform_newpulse(pulses[0], len(pulses))
+        if return_identifier_mappings:
+            shared_c = {str(i): str(i)
+                        for i in pulses[0].c_oper_identifiers}
+            shared_n = {str(i): str(i)
+                        for i in pulses[0].n_oper_identifiers}
+            return (newpulse,
+                    {p: shared_c for p in range(len(pulses))},
+                    {p: shared_n for p in range(len(pulses))})
+        return newpulse
     # validate once per distinct object (trains repeat pulse objects)
     uniq = {id(p): p for p in pulses}.values()
     if not all(isinstance(p, PulseSequence) for p in uniq):
@@ -238,6 +250,68 @@ def concatenate_without_filter_function(
 # -----------------------------------------------------------------------------
 # Full concatenation with filter-function reuse
 # -----------------------------------------------------------------------------
+def _uniform_newpulse(pulse0: PulseSequence, repeats: int) -> PulseSequence:
+    """Closed-form Hamiltonian union for ``concatenate([p] * G)``:
+    operators and identifiers pass through, coefficients and dt tile."""
+    if not isinstance(pulse0, PulseSequence):
+        raise TypeError('Can only concatenate PulseSequences!')
+    newpulse = PulseSequence.from_arrays(
+        c_opers=pulse0.c_opers,
+        c_oper_identifiers=pulse0.c_oper_identifiers,
+        c_coeffs=np.tile(np.asarray(pulse0.c_coeffs), (1, repeats)),
+        n_opers=pulse0.n_opers,
+        n_oper_identifiers=pulse0.n_oper_identifiers,
+        n_coeffs=np.tile(np.asarray(pulse0.n_coeffs), (1, repeats)),
+        dt=np.tile(np.asarray(pulse0.dt), repeats),
+        basis=pulse0.basis)
+    newpulse.tau = repeats * pulse0.tau
+    return newpulse
+
+
+def _concatenate_uniform(pulse0: PulseSequence, repeats: int,
+                         calc_filter_function: Optional[bool],
+                         which: str, omega, show_progressbar: bool
+                         ) -> PulseSequence:
+    """Uniform-train concatenation without O(G) host work.
+
+    Semantically identical to routing ``[pulse0] * repeats`` through the
+    general path (pulse_sequence.py:1668-1887): the boundary phases are
+    z^g with z = e^{i w tau} and the cumulative Liouvilles are Q^g, so
+    K5's sum is the geometric series K6 evaluates in closed form."""
+    newpulse = _uniform_newpulse(pulse0, repeats)
+    if pulse0.is_cached('total_propagator'):
+        newpulse.total_propagator = matrix_power(
+            asc(pulse0.total_propagator), repeats)
+    if calc_filter_function is False:
+        return newpulse
+    if omega is None:
+        cached_ctrl = pulse0.is_cached('control_matrix')
+        if not (cached_ctrl or pulse0.is_cached('omega')):
+            # mirrors the general path: no frequencies anywhere
+            if calc_filter_function:
+                raise ValueError('Calculation of filter function forced '
+                                 'but not all pulses have the same '
+                                 'frequencies cached and none were '
+                                 'supplied!')
+            return newpulse
+        if calc_filter_function is None and not cached_ctrl:
+            return newpulse
+        omega = pulse0.omega
+
+    ctrl0 = pulse0.get_control_matrix(omega, show_progressbar)
+    if not newpulse.is_cached('total_propagator'):
+        newpulse.total_propagator = matrix_power(
+            asc(pulse0.total_propagator), repeats)
+    newpulse.cache_total_phases(omega)
+    newpulse.total_propagator_liouville = liouville_representation(
+        newpulse.total_propagator, newpulse.basis)
+    control_matrix = numeric.calculate_control_matrix_periodic(
+        pulse0.get_total_phases(omega), ctrl0,
+        asc(pulse0.total_propagator_liouville), repeats)
+    newpulse.cache_filter_function(omega, control_matrix, which=which)
+    return newpulse
+
+
 @util.parse_optional_parameters(which=('fidelity', 'generalized'))
 def concatenate(pulses: Iterable[PulseSequence],
                 calc_pulse_correlation_FF: bool = False,
@@ -253,6 +327,16 @@ def concatenate(pulses: Iterable[PulseSequence],
     pulses = tuple(pulses)
     if len(pulses) == 1:
         return _copy.copy(pulses[0])
+
+    if (not calc_pulse_correlation_FF and not calc_second_order_FF
+            and len(set(map(id, pulses))) == 1):
+        # A train of ONE repeated pulse object ([p] * G): every
+        # Hamiltonian union, identifier mapping, and cache-equality
+        # question is answered by the single distinct pulse, so the
+        # O(G) host bookkeeping of the general path is pure overhead.
+        return _concatenate_uniform(pulses[0], len(pulses),
+                                    calc_filter_function, which, omega,
+                                    show_progressbar)
 
     newpulse, _, n_oper_mapping = concatenate_without_filter_function(
         pulses, return_identifier_mappings=True)
