@@ -408,6 +408,64 @@ class TestHamiltonianMerging:
         c = ff.concatenate([p])
         assert c == p and c is not p
 
+    def test_uniform_train_equals_general_and_scratch(self):
+        """concatenate([p] * G) takes the closed-form uniform branch;
+        it must agree with the general path (distinct pulse objects)
+        and with a from-scratch computation on the merged pulse."""
+        import copy
+        omega = np.linspace(0.1, 10, 25)
+        pulse = rand_pulse_sequence(2, 3)
+        pulse.cache_filter_function(omega)
+        G = 6
+        fast = ff.concatenate([pulse] * G)
+        general = ff.concatenate([copy.deepcopy(pulse) for _ in range(G)])
+        assert_allclose(to_np(fast.get_filter_function(omega)),
+                        to_np(general.get_filter_function(omega)),
+                        atol=1e-10)
+        scratch = ff.concatenate_without_filter_function([pulse] * G)
+        scratch.cache_filter_function(omega)
+        assert_allclose(to_np(fast.get_filter_function(omega)),
+                        to_np(scratch.get_filter_function(omega)),
+                        atol=1e-10)
+        assert fast.dt.shape == (3 * G,)
+        assert fast.tau == pytest.approx(G * pulse.tau)
+        assert_allclose(to_np(fast.total_propagator),
+                        to_np(general.total_propagator), atol=1e-12)
+
+    def test_uniform_train_decision_semantics(self):
+        """The uniform branch must mirror the general path's
+        calc_filter_function / omega decision logic."""
+        omega = np.linspace(0.1, 10, 25)
+        pulse = rand_pulse_sequence(2, 3)       # nothing cached
+        out = ff.concatenate([pulse] * 4)
+        assert not out.is_cached('filter_function')
+        with pytest.raises(ValueError):
+            ff.concatenate([pulse] * 4, calc_filter_function=True)
+        out = ff.concatenate([pulse] * 4, calc_filter_function=True,
+                             omega=omega)
+        assert out.is_cached('filter_function')
+        pulse.cache_filter_function(omega)
+        out = ff.concatenate([pulse] * 4, calc_filter_function=False)
+        assert not out.is_cached('filter_function')
+        # cached total propagator still carried over without the FF
+        assert out.is_cached('total_propagator')
+        out = ff.concatenate([pulse] * 4)        # auto: cached ctrl mat
+        assert out.is_cached('filter_function')
+
+    def test_uniform_train_mappings(self):
+        """concatenate_without_filter_function's uniform branch returns
+        identity identifier mappings keyed by pulse position."""
+        pulse = rand_pulse_sequence(2, 3)
+        newpulse, cmap, nmap = ff.concatenate_without_filter_function(
+            [pulse] * 5, return_identifier_mappings=True)
+        assert set(cmap) == set(range(5)) and set(nmap) == set(range(5))
+        for i in range(5):
+            assert cmap[i] == {str(s): str(s)
+                               for s in pulse.c_oper_identifiers}
+            assert nmap[i] == {str(s): str(s)
+                               for s in pulse.n_oper_identifiers}
+        assert newpulse.dt.shape == (15,)
+
 
 class TestRemapCachingAndAccuracy:
     """Cache retention under remap and 3-qubit accuracy with identifier
