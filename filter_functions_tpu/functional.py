@@ -111,11 +111,17 @@ def error_transfer_matrix(p: PulseArrays, spectrum, omega, basis: Basis,
 def _so_shift_dtype() -> Optional[str]:
     """Working precision of the second-order frequency-shift term.
 
-    float32 on the Ozaki/TPU path (where f64 is software-emulated and
-    the shift is a perturbatively small correction well inside the
-    1e-10 parity budget), full precision elsewhere.  Override with
-    FF_TPU_SO_DTYPE=float64|float32 (resolved eagerly per call and
-    passed as a static argument, like FF_TPU_OZAKI_CMUL).
+    float32 on the Ozaki/TPU path (where f64 contractions are
+    software-emulated and slow), full precision elsewhere.  Since the
+    separable-table rewrite of the K2 lattice
+    (numeric._second_order_diag_shifts), float32's rounding is NOT
+    amplified near resonances: entries with |y dt| < _SO_SMALL_Y take
+    the cancellation-free divided-difference branch, so the factored
+    general form's error stays <= eps_f32/_SO_SMALL_Y ~ 6e-6
+    element-relative, ~1e-11 integrated (measured) -- inside the
+    1e-10 parity budget.  Override with FF_TPU_SO_DTYPE=float64|float32
+    (resolved eagerly per call and passed as a static argument, like
+    FF_TPU_OZAKI_CMUL).
     """
     mode = os.environ.get('FF_TPU_SO_DTYPE')
     if mode:

@@ -29,6 +29,8 @@ Public API parity:
 from __future__ import annotations
 
 import functools
+import math
+import os
 from typing import Any, Dict, Mapping, Optional, Sequence, Tuple, Union
 from warnings import warn
 
@@ -222,6 +224,221 @@ def _second_order_integral_single(omega: jnp.ndarray, eigvals: jnp.ndarray,
     out = where(jnp.tile(mask_y, (1, d2)), general,
                 special._map(lambda v: jnp.repeat(v, d2, axis=-1)))
     return out.reshape(n_w, d, d, d, d)
+
+
+def _so_factored() -> bool:
+    """Whether the separable-table route of the K2 lattice is enabled
+    (FF_TPU_SO_FACTORED=1).  Off by default: it is slower on the
+    Ozaki/TPU backend (emulated-f64 einsums, see doc/performance.md)
+    and its per-shape compile cost across a test-suite's worth of
+    shapes outweighs its runtime win on CPU.  The lattice route is the
+    default everywhere; the factored route stays available for
+    natively-f64 production workloads dominated by large n_omega d^4
+    lattices."""
+    return os.environ.get('FF_TPU_SO_FACTORED', '') not in ('', '0')
+
+
+_SO_SMALL_Y = 1e-2   # |y dt| below which the divided-difference branch runs
+_SO_SMALL_K = 6      # y-Taylor terms: truncation ~ (1e-2)^6/7! ~ 2e-16 rel
+_SO_SERIES_W = 0.2   # |u dt| below which frac^(k) runs as a Maclaurin series
+_SO_SERIES_J = 12    # series terms: 0.2^13/13! ~ 1e-19 rel
+
+
+@functools.lru_cache(maxsize=None)
+def _frac_divdiff_static(n: int):
+    """Static coefficient tensors of :func:`_frac_divdiff_coeffs`.
+
+    The argument lattice is w[o, ij] = a[o] + b[ij], so every
+    polynomial in w splits binomially over the two 1-D generators:
+    w^j/... = sum_{r+s=j} a^r b^s/(r! s!) normalizations.  Both
+    branches then evaluate as (n, J+1, J+1) static tensors contracted
+    against the two small power stacks -- the (J+1, n_omega, d^2)
+    power lattice of w itself is never materialized (it dominated the
+    table cost in the direct form):
+
+    * series: frac^{(k)} = (i dt)^{k+1} sum_j i^j w^j/((j+k+1) j!)
+      -> M[k, r, s] = i^{r+s} / ((r+s+k+1) r! s!)
+    * closed-form helper S_k(-i w) = sum_{j<=k} (-i)^j w^j/j!
+      -> B[k, r, s] = (-i)^{r+s} / (r! s!) for r+s <= k
+    """
+    J = _SO_SERIES_J
+    m_re = np.zeros((n, J + 1, J + 1))
+    m_im = np.zeros((n, J + 1, J + 1))
+    b_re = np.zeros((n, J + 1, J + 1))
+    b_im = np.zeros((n, J + 1, J + 1))
+    for k in range(1, n + 1):
+        for r in range(J + 1):
+            for s in range(J + 1 - r):
+                j = r + s
+                cj = 1.0 / ((j + k + 1) * math.factorial(r)
+                            * math.factorial(s))
+                ip = (1.0, 1j, -1.0, -1j)[j % 4]
+                m_re[k - 1, r, s] = (ip * cj).real
+                m_im[k - 1, r, s] = (ip * cj).imag
+                if j <= k:
+                    cb = 1.0 / (math.factorial(r) * math.factorial(s))
+                    im = (1.0, -1j, -1.0, 1j)[j % 4]
+                    b_re[k - 1, r, s] = (im * cb).real
+                    b_im[k - 1, r, s] = (im * cb).imag
+    ks = np.arange(1, n + 1)
+    sgn_fact = (-1.0) ** ks * np.array([math.factorial(k) for k in ks])
+    inv_fact = -1.0 / np.array([math.factorial(k) for k in ks])
+    return m_re, m_im, b_re, b_im, sgn_fact, inv_fact
+
+
+def _frac_divdiff_coeffs(a, b, dt, n: int, sin_u, cos_u) -> C:
+    r"""Coefficients D_k(u) = -frac^{(k+1)}(u)/(k+1)!, k = 0..n-1, of
+    the divided difference
+
+        (frac(u) - frac(u + y))/y = sum_k D_k(u) y^k
+
+    of frac(u) = (e^{i u dt} - 1)/u, on the lattice
+    u dt = a[o] + b[ij] (entire, so the series converges for every u
+    and y; it is used for |y dt| < _SO_SMALL_Y where the separable
+    general form of the K2 lattice would cancel catastrophically).
+    Derivatives come from the closed form
+
+        frac^{(k)}(u) = (-1)^k k!/u^{k+1} (e^{i u dt} S_k(-i dt u) - 1),
+        S_k(v) = sum_{j<=k} v^j/j!,
+
+    stable for |u dt| > _SO_SERIES_W (the relative error
+    eps (k+1)!/|u dt|^{k+1} of its cancelling bracket is amplified by
+    the y-suppression (y dt)^k of term k, so even k = 1 only needs
+    |u dt| >= 0.2 for 1e-13), and from the Maclaurin series below.
+    Both branches are polynomials in w = u dt with static complex
+    coefficients, evaluated binomially from 1-D power stacks of a and
+    b (:func:`_frac_divdiff_static`) -- no w-power lattice, which both
+    shrinks the traced graph and keeps the arithmetic O(n_omega + d^2)
+    instead of O(n_omega d^2) per power.
+
+    sin_u/cos_u: precomputed sin/cos of w (the caller already has them
+    by angle addition).  Returns C of shape (n, len(a), len(b)).
+    """
+    m_re, m_im, b_re, b_im, sgn_fact, inv_fact = _frac_divdiff_static(n)
+    f = a.dtype
+    J = _SO_SERIES_J
+    w = a[:, None] + b[None, :]
+    small = jnp.abs(w) <= _SO_SERIES_W
+    bshape = (n, 1, 1)
+
+    # 1-D power stacks (cumprod: a single primitive, immune to
+    # elementwise-chain refusion)
+    def powers(v):
+        return jnp.cumprod(jnp.concatenate(
+            [jnp.ones((1,) + v.shape, f),
+             jnp.broadcast_to(v, (J,) + v.shape)]), axis=0)
+    apow, bpow = powers(a), powers(b)                     # (J+1, o|ij)
+
+    def poly(c_re, c_im):
+        t_re = jnp.einsum('krs,ro->kso', jnp.asarray(c_re, f), apow)
+        t_im = jnp.einsum('krs,ro->kso', jnp.asarray(c_im, f), apow)
+        return C(jnp.einsum('kso,sm->kom', t_re, bpow),
+                 jnp.einsum('kso,sm->kom', t_im, bpow))
+
+    ser = poly(m_re, m_im)
+    # (i dt)^{k+1} prefactor, i-cycle folded into static signs
+    dt_pow = jnp.stack([dt ** (k + 1) for k in range(1, n + 1)])
+    i_cyc = np.array([(1.0, 1j, -1.0, -1j)[(k + 1) % 4]
+                      for k in range(1, n + 1)])
+    pre = C(i_cyc.real * dt_pow, i_cyc.imag * dt_pow).reshape(*bshape)
+    series = ser * pre
+
+    # closed branch: (e^{iw} S_k - 1) * (-1)^k k! (dt/w)^{k+1}
+    s_k = poly(b_re, b_im)
+    e_u = C(cos_u, sin_u)
+    base = dt / jnp.where(small, 1.0, w)                  # dt/w = 1/u
+    # (dt/w)^{k+1}, k = 1..n
+    ui_stack = jnp.cumprod(jnp.concatenate(
+        [(base * base)[None],
+         jnp.broadcast_to(base, (n - 1,) + w.shape)]), axis=0)
+    ui_stack = ui_stack * jnp.asarray(sgn_fact, f).reshape(bshape)
+    closed = (e_u * s_k - 1.0) * ui_stack
+
+    fd = where(jnp.broadcast_to(small, (n,) + w.shape), series, closed)
+    return fd * jnp.asarray(inv_fact, f).reshape(bshape)
+
+
+def _second_order_factored_single(omega: jnp.ndarray,
+                                  eigvals: jnp.ndarray, dt):
+    r"""Separable tables of the K2 lattice for ONE segment.
+
+    The general case of :func:`_second_order_integral_single` is
+
+        I[o, ij, mn] = (f(x[o, ij]) - f(z[ij, mn])) * r[o, mn]
+
+    with r = 1/y on y != 0 and the y == 0 entries replaced by a value
+    ``special[o, ij]`` that does not depend on (m, n) at all.  Every
+    factor touches at most two of the three index groups, so any
+    contraction of I against an (mn)-indexed operand N splits into
+    sums of [table(o, ij)] x [table(o, mn) @ N] products and the
+    (n_omega, d^4) lattice -- the cost center of the second-order
+    pipeline, all emulated-f64 elementwise work on TPU -- never needs
+    to exist.
+
+    Because z - x = y exactly, f_x -> f_z as y -> 0 and the factored
+    general form loses ~eps/|y dt| relative precision (the elementwise
+    lattice subtracts the two nearby values directly and is benign
+    there).  Entries with 0 < |y dt| < _SO_SMALL_Y therefore switch to
+    the divided-difference Taylor series
+
+        I = sum_k D_k(x[o, ij]) * y^k[o, mn],
+
+    which is separable too (:func:`_frac_divdiff_coeffs`); the
+    factored general form then only runs where |y dt| >= _SO_SMALL_Y,
+    bounding its error at ~2 eps/_SO_SMALL_Y ~ 4e-13 relative.
+
+    Returns (f_x, special, f_z, r_big, m0, dks, yks):
+    C (n_omega, d^2), C (n_omega, d^2), C (d^2, d^2),
+    real (n_omega, d^2), real (n_omega, d^2),
+    C (_SO_SMALL_K, n_omega, d^2), real (_SO_SMALL_K, n_omega, d^2),
+    with ij/mn flattened row-major as in
+    :func:`_second_order_integral_single`.  The lattice contraction
+    against an mn-indexed operand N is
+
+        sum_mn I N = f_x (r_big @ N) - f_z @ (r_big N)
+                     + special (m0 @ N) + sum_k dks_k (yks_k @ N).
+    """
+    d = eigvals.shape[0]
+    d2 = d * d
+    dE = eigvals[:, None] - eigvals[None, :]
+    de_flat = dE.reshape(d2)
+    x = de_flat[None] - omega[:, None]                  # (o, ij)
+    y = omega[:, None] + de_flat[None]                  # (o, mn)
+    z = de_flat[:, None] + de_flat[None]                # (ij, mn)
+
+    a = -omega * dt
+    sa, ca = jnp.sin(a)[:, None], jnp.cos(a)[:, None]
+    b = de_flat * dt
+    sb, cb = jnp.sin(b)[None], jnp.cos(b)[None]
+    sin_x = sb * ca + cb * sa
+    cos_x = cb * ca - sb * sa
+
+    f_x = _frac_from_trig(x, sin_x, cos_x, dt)          # (o, ij)
+    zdt = z * dt
+    f_z = _frac_from_trig(z, jnp.sin(zdt), jnp.cos(zdt), dt)  # (ij, mn)
+
+    mask_y = y != 0.0
+    small_y = mask_y & (jnp.abs(y * dt) < _SO_SMALL_Y)
+    big_y = mask_y & ~small_y
+    r_big = jnp.where(big_y, 1.0 / jnp.where(big_y, y, 1.0), 0.0)
+    m0 = jnp.where(mask_y, 0.0, 1.0)
+
+    # small-y divided-difference tables: D_k(x) and y^k moments; the
+    # x dt lattice is a[o] + b[ij] and the e^{i x dt} phases reuse the
+    # angle-addition sin/cos tables
+    dks = _frac_divdiff_coeffs(a, b, dt, _SO_SMALL_K,
+                               sin_x, cos_x)            # (K, o, ij)
+    yks = jnp.cumprod(jnp.concatenate(
+        [jnp.where(small_y, 1.0, 0.0)[None],
+         jnp.broadcast_to(y, (_SO_SMALL_K - 1,) + y.shape)]),
+        axis=0)                                         # (K, o, mn)
+
+    mask_x = x != 0.0
+    r_x = 1.0 / jnp.where(mask_x, x, 1.0)
+    num = f_x - C(-sin_x * dt, cos_x * dt)              # f(x) - i dt e^{ixdt}
+    special = where(mask_x, num * r_x,
+                    C(jnp.full_like(x, dt * dt / 2)))
+    return f_x, special, f_z, r_big, m0, dks, yks
 
 
 # -----------------------------------------------------------------------------
@@ -885,12 +1102,14 @@ def _second_order_total(eigvals, n_opers_transformed, basis_transformed,
       per frequency, a (A x G) @ (G x B) matmul with A = B = (a k) the
       flattened noise-oper x basis index -- the serial outer-product
       accumulation becomes one reduction over g on the matrix unit.
-    * incomplete steps: sum_g nob_g I2_g nob_g runs as a g-batched
-      first stage T_g = I2_g @ nob_g^T followed by ONE matmul whose
-      reduction axis is the flattened (g, ij) pair, so the segment sum
-      also rides the MXU (K = G d^2 instead of d^2).
+    * incomplete steps: sum_g nob_g I2_g nob_g uses the separable-table
+      form of the K2 lattice (:func:`_second_order_factored_single`):
+      both d^2-indexed slots of the lattice contract against nob
+      BEFORE the o/ij/mn coupling is assembled, so the (n_w, d^4)
+      lattice is never materialized and the remaining contractions are
+      small (g-batched) matmuls.
 
-    The (G, n_w, d^4) integral lattice is chunked over g to stay inside
+    The (G, n_w, d^2, A) working set is chunked over g to stay inside
     :func:`config.memory_budget` for large-d pulses.
     """
     G, d = eigvals.shape
@@ -915,27 +1134,63 @@ def _second_order_total(eigvals, n_opers_transformed, basis_transformed,
         lambda v: v.transpose(0, 2, 1, 3, 4))             # (a,b,k,l,o)
 
     # --- incomplete steps, chunked over g ---
-    per_g = n_w * d2 * d2 * 16
+    # Two routes.  On the Ozaki/TPU path, big contractions must ride
+    # the MXU (emulated-f64 einsums are element-at-a-time slow), so the
+    # (o, d^4) lattice is materialized per chunk and both stages run as
+    # Ozaki matmuls.  On natively-f64 backends the separable-table form
+    # (:func:`_second_order_factored_single`) is cheaper: it never
+    # builds the lattice.
+    if config.contraction_mode() == 'ozaki' or not _so_factored():
+        per_g = n_w * d2 * (d2 + A) * 16
+        gc = max(1, min(G, config.memory_budget() // max(per_g, 1)))
+        n_chunks = -(-G // gc)
+        incomplete = None
+        for c in range(n_chunks):
+            sl = slice(c * gc, min((c + 1) * gc, G))
+            g_here = sl.stop - sl.start
+            int2 = jax.vmap(_second_order_integral_single,
+                            in_axes=(None, 0, 0))(
+                omega, eigvals[sl], dt[sl])               # (g, o, d,d,d,d)
+            i2 = int2.reshape(g_here, n_w * d2, d2)
+            nob_c = nob[sl]
+            nob_t = nob_c._map(lambda v: v.swapaxes(-1, -2))  # (g, d2, A)
+            t = _so_matmul(i2, nob_t)                     # (g, o*d2, A)
+            t2 = t.reshape(g_here, n_w, d2, A)._map(
+                lambda v: v.transpose(0, 2, 1, 3).reshape(g_here * d2,
+                                                          n_w * A))
+            nob2 = nob_c._map(
+                lambda v: v.transpose(1, 0, 2).reshape(A, g_here * d2))
+            s = _so_matmul(nob2, t2)                      # (A, o*B)
+            incomplete = s if incomplete is None else incomplete + s
+        incomplete = incomplete.reshape(
+            n_nops, n_basis, n_w, n_nops, n_basis)._map(
+            lambda v: v.transpose(0, 3, 1, 4, 2))         # (a,b,k,l,o)
+        return incomplete + complete
+    per_g = n_w * d2 * A * 16
     gc = max(1, min(G, config.memory_budget() // max(per_g, 1)))
     n_chunks = -(-G // gc)
     incomplete = None
-    for c in range(n_chunks):
-        sl = slice(c * gc, min((c + 1) * gc, G))
-        g_here = sl.stop - sl.start
-        int2 = jax.vmap(_second_order_integral_single,
-                        in_axes=(None, 0, 0))(
-            omega, eigvals[sl], dt[sl])                   # (g, o, d,d,d,d)
-        i2 = int2.reshape(g_here, n_w * d2, d2)
-        nob_c = nob[sl]
-        nob_t = nob_c._map(lambda v: v.swapaxes(-1, -2))  # (g, d2, A)
-        t = _so_matmul(i2, nob_t)                         # (g, o*d2, A)
-        t2 = t.reshape(g_here, n_w, d2, A)._map(
-            lambda v: v.transpose(0, 2, 1, 3).reshape(g_here * d2,
-                                                      n_w * A))
-        nob2 = nob_c._map(
-            lambda v: v.transpose(1, 0, 2).reshape(A, g_here * d2))
-        s = _so_matmul(nob2, t2)                          # (A, o*B)
-        incomplete = s if incomplete is None else incomplete + s
+    with jax.default_matmul_precision('highest'):
+        for c in range(n_chunks):
+            sl = slice(c * gc, min((c + 1) * gc, G))
+            f_x, special, f_z, r_b, m0, dks, yks = jax.vmap(
+                _second_order_factored_single, in_axes=(None, 0, 0))(
+                omega, eigvals[sl], dt[sl])
+            nob_c = nob[sl]                               # (g, A|B, d2)
+            # first nob slot contracted against the ij-indexed tables
+            nf = ceinsum('gai,goi->gao', nob_c, f_x)
+            ns = ceinsum('gai,goi->gao', nob_c, special)
+            nz = ceinsum('gai,gim->gam', nob_c, f_z)
+            nd = ceinsum('gai,gkoi->gkao', nob_c, dks)
+            # second nob slot against the mn-indexed tables
+            p_t = ceinsum('gom,gbm->gob', r_b, nob_c)
+            s_t = ceinsum('gom,gbm->gob', m0, nob_c)
+            y_t = ceinsum('gkom,gbm->gkob', yks, nob_c)
+            s = ceinsum('gao,gob->aob', nf, p_t) \
+                + ceinsum('gao,gob->aob', ns, s_t) \
+                + ceinsum('gkao,gkob->aob', nd, y_t) \
+                - ceinsum('gam,gom,gbm->aob', nz, r_b, nob_c)
+            incomplete = s if incomplete is None else incomplete + s
     incomplete = incomplete.reshape(
         n_nops, n_basis, n_w, n_nops, n_basis)._map(
         lambda v: v.transpose(0, 3, 1, 4, 2))             # (a,b,k,l,o)
@@ -972,16 +1227,21 @@ def _second_order_diag_shifts(eigvals, n_opers_transformed,
     Returns C of shape (n_nops, n_basis, n_basis); take ``.re`` for
     the physical shifts.
 
-    *dtype* selects the working precision of the incomplete-step
-    CONTRACTIONS (stage-1 matmul, weighted omega reduction, final
-    segment contraction).  The integral lattice itself always runs in
-    the input precision -- its y -> 0 limiting cases cancel
-    catastrophically below f64 -- but once the lattice values exist,
-    casting the matmul operands to float32 loses only ~1e-7 relative
-    with no cancellation, which enters the error transfer matrix as
-    ~1e-7 x |Delta| (well inside the 1e-10 parity budget) while the
-    matmuls run natively on the MXU instead of through Ozaki f64
-    slicing.  None keeps everything in the input dtype.
+    Two routes for the incomplete-step term, chosen by backend
+    economics (measured on both):
+
+    * Ozaki/TPU: materialize the (n_omega, d^4) K2 lattice per chunk
+      and push the contraction through the MXU at *dtype* (float32 by
+      default there, see functional._so_shift_dtype).  On this backend
+      any sizable f64 einsum is software-emulated element-at-a-time,
+      so the small-tensor factored form below is LOSING despite doing
+      ~d^2 x less arithmetic (measured 4.5 vs 2.5 ms/eval on the
+      d=4 x 8-segment x 200-omega x batch-64 bench).
+    * natively-f64 backends: the separable-table form of the K2
+      lattice (:func:`_second_order_factored_single`) with the
+      weighted omega reduction folded in -- every contraction is over
+      tensors of at most (G, n_omega, n_nops*n_basis) elements and the
+      lattice is never materialized.
     """
     G, d = eigvals.shape
     d2 = d * d
@@ -999,40 +1259,73 @@ def _second_order_diag_shifts(eigvals, n_opers_transformed,
                    jnp.asarray(weights),
                    cumul_padded.reshape(G, n_nops, n_basis, n_w))
 
-    # incomplete steps, chunked over g as in _second_order_total
     f_in = eigvals.dtype
     f_mm = jnp.dtype(dtype) if dtype is not None else f_in
-    weights_mm = jnp.asarray(weights).astype(f_mm)
+    w = jnp.asarray(weights).astype(f_mm)
 
     def to_mm(x):
-        return x if f_mm == f_in else C(x.re.astype(f_mm),
-                                        x.im.astype(f_mm))
+        if f_mm == f_in:
+            return x
+        if isinstance(x, C):
+            return C(x.re.astype(f_mm), x.im.astype(f_mm))
+        return x.astype(f_mm)
 
-    per_g = n_w * d2 * d2 * 16
-    gc = max(1, min(G, config.memory_budget() // max(per_g, 1)))
-    n_chunks = -(-G // gc)
-    inc = None
+    if config.contraction_mode() == 'ozaki' or not _so_factored():
+        # Ozaki/TPU route: emulated-f64 einsums are element-at-a-time
+        # slow, so materialize the K2 lattice per chunk (full
+        # precision, cancellation-sensitive) and push the big
+        # contraction through the MXU (f32 or Ozaki slices).
+        per_g = n_w * d2 * d2 * 16
+        gc = max(1, min(G, config.memory_budget() // max(per_g, 1)))
+        n_chunks = -(-G // gc)
+        inc = None
+        with jax.default_matmul_precision('highest'):
+            for c in range(n_chunks):
+                sl = slice(c * gc, min((c + 1) * gc, G))
+                g_here = sl.stop - sl.start
+                int2 = jax.vmap(_second_order_integral_single,
+                                in_axes=(None, 0, 0))(omega,
+                                                      eigvals[sl],
+                                                      dt[sl])
+                i2 = to_mm(int2.reshape(g_here, n_w * d2, d2))
+                nob_c = to_mm(nob[sl])
+                nob_t = nob_c._map(lambda v: v.swapaxes(-1, -2))
+                t = _so_matmul(i2, nob_t)                  # (g, o*d2, A)
+                # weighted omega reduction on T, b == a columns
+                t5 = t.reshape(g_here, n_w, d2, n_nops, n_basis)
+                t2 = t5._map(lambda v: jnp.einsum('goial,ao->agil', v,
+                                                  w))
+                term = ceinsum('gakm,agml->akl',
+                               nob_c.reshape(g_here, n_nops, n_basis,
+                                             d2), t2)
+                inc = term if inc is None else inc + term
+        if f_mm != f_in:
+            inc = C(inc.re.astype(f_in), inc.im.astype(f_in))
+        return inc + comp
+
+    # separable K2 tables, all segments at once (O(G n_w d^2) memory)
+    f_x, special, f_z, r_b, m0, dks, yks = jax.vmap(
+        _second_order_factored_single, in_axes=(None, 0, 0))(
+        omega, eigvals, dt)
+    f_x, special, f_z, dks = (to_mm(f_x), to_mm(special), to_mm(f_z),
+                              to_mm(dks))
+    r_b, m0, yks = to_mm(r_b), to_mm(m0), to_mm(yks)
+    nob4 = to_mm(nob.reshape(G, n_nops, n_basis, d2))
+
     with jax.default_matmul_precision('highest'):
-        for c in range(n_chunks):
-            sl = slice(c * gc, min((c + 1) * gc, G))
-            g_here = sl.stop - sl.start
-            # lattice in full precision (cancellation-sensitive), then
-            # cast the contraction operands to the matmul dtype
-            int2 = jax.vmap(_second_order_integral_single,
-                            in_axes=(None, 0, 0))(omega, eigvals[sl],
-                                                  dt[sl])
-            i2 = to_mm(int2.reshape(g_here, n_w * d2, d2))
-            nob_c = to_mm(nob[sl])
-            nob_t = nob_c._map(lambda v: v.swapaxes(-1, -2))
-            t = _so_matmul(i2, nob_t)                      # (g, o*d2, A)
-            # weighted omega reduction on T, selecting b == a columns
-            t5 = t.reshape(g_here, n_w, d2, n_nops, n_basis)
-            t2 = t5._map(lambda v: jnp.einsum('goial,ao->agil', v,
-                                              weights_mm))
-            term = ceinsum('gakm,agml->akl',
-                           nob_c.reshape(g_here, n_nops, n_basis, d2),
-                           t2)
-            inc = term if inc is None else inc + term
+        # T[g,o,ij,(a,l)] = f_x P + special S0 + sum_k D_k Y_k
+        # - f_z (r nob), with the omega reduction sum_o w[a,o] folded
+        # into each term and the b == a diagonal selected on the
+        # trailing index.
+        p_t = ceinsum('gom,galm->goal', r_b, nob4)      # (r @ N)
+        s_t = ceinsum('gom,galm->goal', m0, nob4)       # (m0 @ N)
+        y_t = ceinsum('gkom,galm->gkoal', yks, nob4)    # (Y_k @ N)
+        term = ceinsum('ao,goi,goal->gail', w, f_x, p_t)
+        term = term + ceinsum('ao,goi,goal->gail', w, special, s_t)
+        term = term + ceinsum('ao,gkoi,gkoal->gail', w, dks, y_t)
+        rw = jnp.einsum('ao,gom->gam', w, r_b)          # sum_o w r
+        term = term - ceinsum('gim,gam,galm->gail', f_z, rw, nob4)
+        inc = ceinsum('gakm,gaml->akl', nob4, term)
     if f_mm != f_in:
         inc = C(inc.re.astype(f_in), inc.im.astype(f_in))
     return inc + comp

