@@ -396,7 +396,11 @@ def _second_order_factored_single(omega: jnp.ndarray,
     against an mn-indexed operand N is
 
         sum_mn I N = f_x (r_big @ N) - f_z @ (r_big N)
-                     + special (m0 @ N) + sum_k dks_k (yks_k @ N).
+                     + special (m0 @ N) + sum_k dks_k (yks_k @ N),
+
+    where dks_k = D_k(x)/dt^k and yks_k = (y dt)^k (each pair's
+    product is D_k y^k; the dt split keeps both tables O(1)-bounded so
+    they survive a float32 downcast individually).
     """
     d = eigvals.shape[0]
     d2 = d * d
@@ -423,14 +427,20 @@ def _second_order_factored_single(omega: jnp.ndarray,
     r_big = jnp.where(big_y, 1.0 / jnp.where(big_y, y, 1.0), 0.0)
     m0 = jnp.where(mask_y, 0.0, 1.0)
 
-    # small-y divided-difference tables: D_k(x) and y^k moments; the
-    # x dt lattice is a[o] + b[ij] and the e^{i x dt} phases reuse the
-    # angle-addition sin/cos tables
+    # small-y divided-difference tables: D_k(x)/dt^k and (y dt)^k
+    # moments (the k-th term's product is D_k y^k either way, but this
+    # split is scale-invariant: |y dt| < _SO_SMALL_Y bounds the moment
+    # at 1 and D_k/dt^k ~ dt stays O(dt), so a float32 downcast of
+    # either table alone cannot overflow/underflow for SI-unit y, dt).
+    # The x dt lattice is a[o] + b[ij] and the e^{i x dt} phases reuse
+    # the angle-addition sin/cos tables.
     dks = _frac_divdiff_coeffs(a, b, dt, _SO_SMALL_K,
                                sin_x, cos_x)            # (K, o, ij)
+    k_arr = jnp.arange(_SO_SMALL_K, dtype=x.dtype)
+    dks = dks * (dt ** -k_arr)[:, None, None]
     yks = jnp.cumprod(jnp.concatenate(
         [jnp.where(small_y, 1.0, 0.0)[None],
-         jnp.broadcast_to(y, (_SO_SMALL_K - 1,) + y.shape)]),
+         jnp.broadcast_to(y * dt, (_SO_SMALL_K - 1,) + y.shape)]),
         axis=0)                                         # (K, o, mn)
 
     mask_x = x != 0.0
@@ -1303,29 +1313,38 @@ def _second_order_diag_shifts(eigvals, n_opers_transformed,
             inc = C(inc.re.astype(f_in), inc.im.astype(f_in))
         return inc + comp
 
-    # separable K2 tables, all segments at once (O(G n_w d^2) memory)
-    f_x, special, f_z, r_b, m0, dks, yks = jax.vmap(
-        _second_order_factored_single, in_axes=(None, 0, 0))(
-        omega, eigvals, dt)
-    f_x, special, f_z, dks = (to_mm(f_x), to_mm(special), to_mm(f_z),
-                              to_mm(dks))
-    r_b, m0, yks = to_mm(r_b), to_mm(m0), to_mm(yks)
-    nob4 = to_mm(nob.reshape(G, n_nops, n_basis, d2))
-
+    # separable K2 tables, chunked over g against the memory budget
+    # (the (g, K, n_omega, A) y_t intermediate dominates: ~100+ GB for
+    # a 1e4-segment train at 400 frequencies if taken all at once)
+    per_g = (_SO_SMALL_K + 3) * n_w * max(A, d2) * 16
+    gc = max(1, min(G, config.memory_budget() // max(per_g, 1)))
+    n_chunks = -(-G // gc)
+    inc = None
     with jax.default_matmul_precision('highest'):
         # T[g,o,ij,(a,l)] = f_x P + special S0 + sum_k D_k Y_k
         # - f_z (r nob), with the omega reduction sum_o w[a,o] folded
         # into each term and the b == a diagonal selected on the
         # trailing index.
-        p_t = ceinsum('gom,galm->goal', r_b, nob4)      # (r @ N)
-        s_t = ceinsum('gom,galm->goal', m0, nob4)       # (m0 @ N)
-        y_t = ceinsum('gkom,galm->gkoal', yks, nob4)    # (Y_k @ N)
-        term = ceinsum('ao,goi,goal->gail', w, f_x, p_t)
-        term = term + ceinsum('ao,goi,goal->gail', w, special, s_t)
-        term = term + ceinsum('ao,gkoi,gkoal->gail', w, dks, y_t)
-        rw = jnp.einsum('ao,gom->gam', w, r_b)          # sum_o w r
-        term = term - ceinsum('gim,gam,galm->gail', f_z, rw, nob4)
-        inc = ceinsum('gakm,gaml->akl', nob4, term)
+        for c in range(n_chunks):
+            sl = slice(c * gc, min((c + 1) * gc, G))
+            f_x, special, f_z, r_b, m0, dks, yks = jax.vmap(
+                _second_order_factored_single, in_axes=(None, 0, 0))(
+                omega, eigvals[sl], dt[sl])
+            f_x, special, f_z, dks = (to_mm(f_x), to_mm(special),
+                                      to_mm(f_z), to_mm(dks))
+            r_b, m0, yks = to_mm(r_b), to_mm(m0), to_mm(yks)
+            nob4 = to_mm(nob[sl].reshape(sl.stop - sl.start, n_nops,
+                                         n_basis, d2))
+            p_t = ceinsum('gom,galm->goal', r_b, nob4)      # (r @ N)
+            s_t = ceinsum('gom,galm->goal', m0, nob4)       # (m0 @ N)
+            y_t = ceinsum('gkom,galm->gkoal', yks, nob4)    # (Y_k @ N)
+            term = ceinsum('ao,goi,goal->gail', w, f_x, p_t)
+            term = term + ceinsum('ao,goi,goal->gail', w, special, s_t)
+            term = term + ceinsum('ao,gkoi,gkoal->gail', w, dks, y_t)
+            rw = jnp.einsum('ao,gom->gam', w, r_b)          # sum_o w r
+            term = term - ceinsum('gim,gam,galm->gail', f_z, rw, nob4)
+            t_c = ceinsum('gakm,gaml->akl', nob4, term)
+            inc = t_c if inc is None else inc + t_c
     if f_mm != f_in:
         inc = C(inc.re.astype(f_in), inc.im.astype(f_in))
     return inc + comp

@@ -57,10 +57,19 @@ def _k_chunk(K: int) -> int:
     return best
 
 
+#: chunk-count ceiling: the kernel statically unrolls K // kc chunk
+#: bodies twice (both passes), so a K whose largest divisor <= _MAX_KC
+#: is tiny (e.g. K = 8 * 1021 -> kc = 8, ~2000 iterations/pass) would
+#: blow up compile time.  Such shapes fall back to the XLA pipeline.
+_MAX_CHUNKS = 64
+
+
 def supported(K: int, J: int, C: int, ndim: int) -> bool:
     """Whether the kernel's grid can express this factored-D shape."""
-    return (_HAVE_PALLAS and ndim == 2 and C % _LANE == 0
-            and _k_chunk(K) > 0)
+    if not (_HAVE_PALLAS and ndim == 2 and C % _LANE == 0):
+        return False
+    kc = _k_chunk(K)
+    return kc > 0 and K // kc <= _MAX_CHUNKS
 
 
 def _split12(z):

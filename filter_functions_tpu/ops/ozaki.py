@@ -553,7 +553,8 @@ def _ozaki_c_outer_bwd(precision_bits, res, g):
     dc_im = jnp.einsum('...kjc,...kj->...kc', dd_im, b_re) \
         - jnp.einsum('...kjc,...kj->...kc', dd_re, b_im)
     return (dp_re.astype(p_re.dtype), dp_im.astype(p_im.dtype),
-            db_re, db_im, dc_re, dc_im)
+            db_re.astype(b_re.dtype), db_im.astype(b_im.dtype),
+            dc_re.astype(c_re.dtype), dc_im.astype(c_im.dtype))
 
 
 ozaki_matmul_c_outer.defvjp(_ozaki_c_outer_fwd, _ozaki_c_outer_bwd)
@@ -571,7 +572,9 @@ def _dword_mode() -> str:
     mode = os.environ.get('FF_TPU_OZAKI_DWORD')
     if mode is not None:
         return mode
-    return 'xla' if jax.default_backend() == 'cpu' else 'pallas'
+    # Mosaic lowers on TPU only; any other backend (CPU, GPU) takes
+    # the bit-identical XLA pipeline.
+    return 'pallas' if jax.default_backend() == 'tpu' else 'xla'
 
 
 @functools.partial(jax.jit,
