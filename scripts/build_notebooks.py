@@ -306,6 +306,49 @@ matrices plus a cumulative phase cache."""),
     code("""\
 F2 = echo.get_filter_function(omega, order=2)
 print('second-order FF shape:', F2.shape)"""),
+    md("""\
+## Composing optimized gates: the X2ID/Y2ID goldens
+
+The reference ships two *optimized* $\\pi/2$ exchange pulses
+(`examples/data/X2ID.mat`, `Y2ID.mat`, from Cerfontaine et al.) that
+realize $\\sqrt{X}$ and $\\sqrt{Y}$ on an exchange-coupled spin qubit:
+100-segment trajectories $J(t) = e^{\\epsilon(t)}$ driving
+$H = J(t)\\,\\sigma_x/2 + B\\,\\sigma_z/2$ with charge noise entering
+through the exchange (sensitivity $\\partial J/\\partial\\epsilon =
+J$).  Composing them into a Hadamard $= Y_{\\pi/2} X_{\\pi/2}
+X_{\\pi/2}$ from their cached filter functions exercises the cache
+reuse on real optimized-control data instead of textbook primitives
+(mirrors reference `advanced_concatenation.ipynb` cells 4-14)."""),
+    code("""\
+from pathlib import Path
+from scipy.io import loadmat
+
+data_path = Path('/root/reference/examples/data')
+if data_path.exists():
+    gates = {}
+    for name in ('X2ID', 'Y2ID'):
+        struct = loadmat(str(data_path / (name + '.mat')))
+        J = np.exp(np.asarray(struct['eps'], order='C'))[0]
+        dt_g = np.asarray(struct['t'].ravel(), order='C')
+        B = np.asarray(struct['B'].ravel(), order='C')[0]
+        gates[name] = ff.PulseSequence(
+            [[X / 2, J, 'J'], [Z / 2, B * np.ones(len(dt_g)), 'B']],
+            [[X / 2, J, 'J']], dt_g)
+    tau_g = float(np.asarray(gates['X2ID'].tau))
+    omega_g = np.linspace(0, 1e2 / tau_g, 301)
+    for p in gates.values():
+        p.cache_filter_function(omega_g)
+    hadamard = ff.concatenate(
+        (gates['Y2ID'], gates['X2ID'], gates['X2ID']),
+        calc_pulse_correlation_FF=True)
+    f_pc_g = hadamard.get_pulse_correlation_filter_function().to_numpy()
+    f_tot = hadamard.get_filter_function(omega_g).to_numpy()
+    print('correlations sum to total:',
+          np.allclose(f_pc_g.sum(axis=(0, 1)), f_tot, atol=1e-12))
+    fig, ax, legend = plotting.plot_pulse_correlation_filter_function(
+        hadamard, xscale='linear')
+else:
+    print('golden data not found; skipping')"""),
 ]
 
 # ---------------------------------------------------------------------------
@@ -426,6 +469,77 @@ n_samples, infids = ff.infidelity(
     test_convergence=True)
 fig, ax = plotting.plot_infidelity_convergence(
     np.asarray(n_samples), np.asarray(infids))"""),
+    md("""\
+## Validating against Monte-Carlo goldens: X2ID / Y2ID
+
+The optimized $\\sqrt{X}\\otimes\\mathbb{1}$ / $\\sqrt{Y}\\otimes
+\\mathbb{1}$ exchange pulses ship with Monte-Carlo reference
+infidelities (`infid_fast` in `X2ID.mat` / `Y2ID.mat`) -- a
+framework-*external* oracle for the full process pipeline.  Rebuild
+the 4-spin exchange Hamiltonian on its 6-level zero-spin subspace,
+complete the qubit-subspace Pauli basis with `Basis.from_partial`,
+compute the second-order error transfer matrix under $1/f^{0.7}$
+charge noise on the two active couplings, and compare
+$1 - |\\mathrm{tr}\\,\\tilde{U}|/d^2$ against the Monte-Carlo value
+(mirrors reference `calculating_quantum_processes.ipynb` cells
+4-21)."""),
+    code("""\
+from pathlib import Path
+from scipy.io import loadmat
+
+data_path = Path('/root/reference/examples/data')
+if data_path.exists():
+    sig = [np.eye(2), X, Y, Z]
+
+    def kron4(*ops):
+        out = np.ones((1, 1), complex)
+        for op in ops:
+            out = np.kron(out, op)
+        return out
+
+    Id = sig[0]
+    H6 = [sum(kron4(*[P if i in pair else Id for i in range(4)])
+              for P in sig[1:]).real / 4
+          for pair in ((0, 1), (1, 2), (2, 3))]
+    zw = [(-3, 1, 1, 1), (-2, -2, 2, 2), (-1, -1, -1, 3)]
+    H6 += [sum(w * kron4(*[Z if i == j else Id for i in range(4)])
+               for j, w in enumerate(ws)).real / 8 for ws in zw]
+    subspace = np.ix_((3, 5, 6, 9, 10, 12), (3, 5, 6, 9, 10, 12))
+    opers = [h[subspace] for h in H6]
+    opers = [op - np.trace(op) / 6 * np.eye(6) for op in opers]
+
+    sub = ff.Basis.pauli(2)
+    basis6 = ff.Basis.from_partial(
+        [np.pad(b, 1, 'constant') for b in sub], labels=list(sub.labels))
+
+    eps0 = 2.7241e-4
+    alpha = 0.7
+    amp = 4e-11 / eps0**2 * (2 * np.pi * 1e-3)**alpha
+    ids = ['J_12', 'J_23', 'J_34', 'b_12', 'b_23', 'b_34']
+
+    print('gate    ours         Monte Carlo  rel. dev.')
+    for name in ('X2ID', 'Y2ID'):
+        struct = loadmat(str(data_path / (name + '.mat')))
+        J = np.exp(np.asarray(struct['eps'], order='C'))
+        dt_g = np.asarray(struct['t'].ravel(), order='C')
+        B = np.asarray(struct['B'].ravel(), order='C')
+        golden = struct['infid_fast'].ravel()[1]
+        n = len(dt_g)
+        c_coeffs = [J[0], J[1], J[2], B[0] * np.ones(n),
+                    B[1] * np.ones(n), B[2] * np.ones(n)]
+        n_coeffs = [J[0], J[1], J[2], np.ones(n), np.ones(n), np.ones(n)]
+        p6 = ff.PulseSequence(list(zip(opers, c_coeffs, ids)),
+                              list(zip(opers, n_coeffs, ids)),
+                              dt_g, basis=basis6)
+        omega6 = np.geomspace(1 / float(np.asarray(p6.tau)), 1e2, 300)
+        etm = np.asarray(ff.error_transfer_matrix(
+            p6, amp / omega6**alpha, omega6, ['J_12', 'J_34'],
+            second_order=True))
+        ours = 1 - abs(np.trace(etm[:16, :16])) / 16
+        print(f'{name}  {ours:.6e}  {golden:.6e}  '
+              f'{abs(1 - ours / golden):.1e}')
+else:
+    print('golden data not found; skipping')"""),
 ]
 
 # ---------------------------------------------------------------------------

@@ -535,6 +535,35 @@ class TestCNOTGolden:
                                              identifiers[:3]))
             assert abs(1 - infid.sum() / golden) <= 0.10
 
+    @pytest.mark.parametrize('gate', ['X2ID', 'Y2ID'])
+    def test_x2id_y2id_process_golden(self, gate):
+        """Error transfer matrix of the optimized sqrt(X)/sqrt(Y)
+        goldens vs their MATLAB Monte-Carlo infidelities — the
+        calculating_quantum_processes.ipynb pipeline (reference
+        doc/source/examples/calculating_quantum_processes.ipynb cells
+        4-21): 6-level zero-spin subspace, qubit-subspace Pauli basis
+        completed by Basis.from_partial, 1/f^0.7 exchange noise on the
+        two active couplings, second-order cumulant, I = 1 -
+        |tr U_tilde|/d^2."""
+        from testutil import gate_data
+        data = gate_data(gate)
+        identifiers = ['J_12', 'J_23', 'J_34', 'b_12', 'b_23', 'b_34']
+        H_c = list(zip(data['opers'], data['c_coeffs'], identifiers))
+        H_n = list(zip(data['opers'], data['n_coeffs'], identifiers))
+        sub = ff.Basis.pauli(2)
+        basis = ff.Basis.from_partial(
+            [np.pad(b, 1, 'constant') for b in sub], labels=list(sub.labels))
+        pulse = ff.PulseSequence(H_c, H_n, data['dt'], basis=basis)
+        omega = np.geomspace(1 / pulse.tau, 1e2, 300)
+        # the intermediate exchange is off during the single-qubit
+        # gates: noise only on the two active couplings
+        amp, golden = data['amp'][1], data['infid_fast'][1]
+        spectrum = amp / omega**data['alpha'][1]
+        etm = np.asarray(ff.error_transfer_matrix(
+            pulse, spectrum, omega, ['J_12', 'J_34'], second_order=True))
+        infid = 1 - abs(np.trace(etm[:16, :16])) / 16
+        assert abs(1 - infid / golden) <= 0.15
+
 
 @pytest.mark.skipif(not HAVE_REFERENCE, reason='reference unavailable')
 class TestCorrelationCumulant:

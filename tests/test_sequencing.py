@@ -1042,3 +1042,72 @@ class TestCompositionKwargs:
         b = ff.concatenate_periodic(pulse, 5, check_invertible=False)
         assert_allclose(to_np(a.get_filter_function(omega)),
                         to_np(b.get_filter_function(omega)), atol=1e-14)
+
+
+@pytest.mark.skipif(not HAVE_REFERENCE, reason='needs golden data')
+class TestX2Y2Golden:
+    """The advanced_concatenation.ipynb pipeline on the optimized
+    X2ID/Y2ID pi/2-pulse goldens (reference
+    doc/source/examples/advanced_concatenation.ipynb cells 4-19):
+    Hadamard = Y2 @ X2 @ X2 from cached per-pulse filter functions, a
+    framework-external oracle for exactly the concatenation cache-reuse
+    path."""
+
+    def _build(self, mod):
+        from testutil import x2y2_single_qubit
+        return {gate: mod.PulseSequence(*x2y2_single_qubit(gate))
+                for gate in ('X2ID', 'Y2ID')}
+
+    def test_hadamard_concatenation_golden(self):
+        import filter_functions as ref
+        ours, theirs = self._build(ff), self._build(ref)
+        tau = float(np.asarray(ours['X2ID'].tau))
+        omega = np.linspace(0, 1e2 / tau, 201)
+        for pulses in (ours, theirs):
+            for p in pulses.values():
+                p.cache_filter_function(omega)
+        got = ff.concatenate(
+            (ours['Y2ID'], ours['X2ID'], ours['X2ID']),
+            calc_pulse_correlation_FF=True)
+        want = ref.concatenate(
+            (theirs['Y2ID'], theirs['X2ID'], theirs['X2ID']),
+            calc_pulse_correlation_FF=True)
+        got_pc = to_np(got.get_pulse_correlation_filter_function())
+        assert_allclose(got_pc,
+                        want.get_pulse_correlation_filter_function(),
+                        atol=1e-9)
+        # correlations sum to the total FF, and the cache-reuse FF
+        # equals the from-scratch FF of the composite pulse
+        got_ff = to_np(got.get_filter_function(omega))
+        assert_allclose(got_pc.sum(axis=(0, 1)), got_ff, atol=1e-12)
+        fresh = ff.PulseSequence.from_arrays(
+            got.c_opers, got.c_oper_identifiers, got.c_coeffs,
+            got.n_opers, got.n_oper_identifiers, got.n_coeffs, got.dt,
+            got.basis)
+        assert_allclose(got_ff, to_np(fresh.get_filter_function(omega)),
+                        atol=1e-9)
+
+    def test_hadamard_second_order_golden(self):
+        import filter_functions as ref
+        ours, theirs = self._build(ff), self._build(ref)
+        tau = float(np.asarray(ours['X2ID'].tau))
+        omega = np.linspace(0, 1e2 / tau, 101)
+        for pulses, mod in ((ours, ff), (theirs, ref)):
+            for p in pulses.values():
+                p.cache_filter_function(omega, cache_intermediates=True,
+                                        order=1)
+                p.cache_filter_function(omega, cache_intermediates=True,
+                                        order=2)
+        got = ff.concatenate(
+            (ours['Y2ID'], ours['X2ID'], ours['X2ID']),
+            calc_second_order_FF=True, which='generalized')
+        want = ref.concatenate(
+            (theirs['Y2ID'], theirs['X2ID'], theirs['X2ID']),
+            calc_second_order_FF=True, which='generalized')
+        for order in (1, 2):
+            assert_allclose(
+                to_np(got.get_filter_function(omega, order=order,
+                                              which='generalized')),
+                want.get_filter_function(omega, order=order,
+                                         which='generalized'),
+                atol=1e-9)

@@ -135,17 +135,23 @@ def generate_dd_hamiltonian(n, tau=10, tau_pi=1e-2, dd_type='cpmg',
     return [[sigma[1] / 2, s]], np.diff(t)
 
 
-# -- CNOT golden data (loaded lazily; requires scipy + reference tree) --------
-_cnot_cache = {}
+# -- Golden gate data (loaded lazily; requires scipy + reference tree) --------
+# CNOT.mat / X2ID.mat / Y2ID.mat share one MATLAB export format: an
+# exchange-coupled 4-spin pulse (eps (3, n_dt), t (n_dt,), B (3,)) with
+# Monte-Carlo golden infidelities infid_fast (one per spectrum exponent
+# alpha in {0, 0.7}).  The single-qubit gates X2ID/Y2ID act as sqrt(X)/
+# sqrt(Y) x Id on the two encoded qubits.
+_gate_cache = {}
 
 
-def cnot_data():
-    """The exchange-coupled 4-spin CNOT pulse reduced to its 6-level
-    subspace, with MATLAB golden infidelities (infid_fast)."""
-    if _cnot_cache:
-        return _cnot_cache
+def gate_data(name='CNOT'):
+    """An optimized exchange-pulse golden (CNOT, X2ID or Y2ID) reduced
+    to its 6-level zero-spin subspace, with MATLAB golden infidelities
+    (infid_fast)."""
+    if name in _gate_cache:
+        return _gate_cache[name]
     from scipy import io
-    struct = io.loadmat(str(REFERENCE_PATH / 'examples/data/CNOT.mat'))
+    struct = io.loadmat(str(REFERENCE_PATH / f'examples/data/{name}.mat'))
     eps = np.asarray(struct['eps'], order='C')
     dt = np.asarray(struct['t'].ravel(), order='C')
     b_field = np.asarray(struct['B'].ravel(), order='C')
@@ -189,10 +195,29 @@ def cnot_data():
     s0 = 4e-11 / eps0**2
     amp = s0 * (2 * np.pi * 1e-3)**alpha
 
-    _cnot_cache.update(dict(opers=opers, c_coeffs=c_coeffs,
-                            n_coeffs=n_coeffs, dt=dt,
-                            infid_fast=infid_fast, alpha=alpha, amp=amp))
-    return _cnot_cache
+    _gate_cache[name] = dict(opers=opers, c_coeffs=c_coeffs,
+                             n_coeffs=n_coeffs, dt=dt,
+                             infid_fast=infid_fast, alpha=alpha, amp=amp)
+    return _gate_cache[name]
+
+
+def cnot_data():
+    return gate_data('CNOT')
+
+
+def x2y2_single_qubit(name):
+    """The X2ID/Y2ID goldens as the single-qubit (d = 2) pulses of the
+    reference's advanced_concatenation.ipynb: H_c = [J_12(t) X/2,
+    B_12 Z/2] with noise on the exchange only (sensitivity J_12)."""
+    from scipy import io
+    struct = io.loadmat(str(REFERENCE_PATH / f'examples/data/{name}.mat'))
+    j_exch = np.exp(np.asarray(struct['eps'], order='C'))[0]
+    dt = np.asarray(struct['t'].ravel(), order='C')
+    b_field = np.asarray(struct['B'].ravel(), order='C')[0]
+    _, X, _, Z = sigma
+    H_c = [[X / 2, j_exch, 'J'], [Z / 2, b_field * np.ones(len(dt)), 'B']]
+    H_n = [[X / 2, j_exch, 'J']]
+    return H_c, H_n, dt
 
 
 def assert_allclose(actual, desired, rtol=1e-7, atol=0, err_msg=''):
