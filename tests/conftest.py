@@ -13,6 +13,17 @@ import os
 import sys
 from pathlib import Path
 
+# No persistent compile cache under pytest: the cache WRITE path
+# (jax compilation_cache.put_executable_and_time) segfaults
+# intermittently in this jaxlib build -- observed with a fresh cache
+# dir and no concurrent writers, always inside the executable
+# serialization.  The suite compiles small CPU graphs, so the cache
+# buys little here; correctness of the cache setup itself is covered
+# by tests/test_extras.py without writes.  Must be set before
+# filter_functions_tpu (whose config module applies the cache dir) is
+# first imported.
+os.environ.setdefault('FF_TPU_NO_COMPILE_CACHE', '1')
+
 import jax
 
 jax.config.update('jax_platforms', 'cpu')
