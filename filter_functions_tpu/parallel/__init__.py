@@ -8,10 +8,11 @@ reduce with XLA collectives inserted automatically by GSPMD.
 """
 from .optimize import OptimizationResult, optimize_pulse
 from .sharding import (make_mesh, shard_omega, sharded_filter_function,
-                       sharded_infidelity, sharded_error_transfer_matrix,
-                       grape_step, make_grape_step)
+                       sharded_infidelity, sharded_batched_infidelity,
+                       sharded_error_transfer_matrix, grape_step,
+                       make_grape_step)
 
 __all__ = ['make_mesh', 'shard_omega', 'sharded_filter_function',
-           'sharded_infidelity', 'sharded_error_transfer_matrix',
-           'grape_step', 'make_grape_step',
-           'OptimizationResult', 'optimize_pulse']
+           'sharded_infidelity', 'sharded_batched_infidelity',
+           'sharded_error_transfer_matrix', 'grape_step',
+           'make_grape_step', 'OptimizationResult', 'optimize_pulse']

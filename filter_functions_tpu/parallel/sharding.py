@@ -31,8 +31,9 @@ from .. import functional, numeric, util
 from ..cplx import C
 
 __all__ = ['make_mesh', 'shard_omega', 'sharded_filter_function',
-           'sharded_infidelity', 'sharded_error_transfer_matrix',
-           'grape_step', 'make_grape_step']
+           'sharded_infidelity', 'sharded_batched_infidelity',
+           'sharded_error_transfer_matrix', 'grape_step',
+           'make_grape_step']
 
 
 def make_mesh(n_devices: Optional[int] = None,
@@ -73,6 +74,8 @@ def _replicate(x, mesh: Mesh):
 # re-trace on every invocation (the tracing cache is per-wrapper).
 _ff_jit = jax.jit(functional.fidelity_filter_function)
 _infid_jit = jax.jit(functional.infidelity)
+_binfid_jit = jax.jit(functional.batched_infidelity,
+                      static_argnames=('chunk_size',))
 
 
 def sharded_filter_function(p: functional.PulseArrays,
@@ -92,6 +95,31 @@ def sharded_infidelity(p: functional.PulseArrays, spectrum, omega,
     omega = shard_omega(omega, mesh)
     spectrum = shard_omega(spectrum, mesh)
     return _infid_jit(p, spectrum, omega)
+
+
+def sharded_batched_infidelity(p: functional.PulseArrays, spectrum,
+                               omega, mesh: Mesh) -> jnp.ndarray:
+    """The production batched entry point
+    (:func:`functional.batched_infidelity` -- the flagship bench path)
+    sharded over the FULL (batch, omega) mesh: the pulse batch splits
+    over 'batch', the frequency grid over 'omega', and the only
+    collective is the frequency-integral psum within each batch row
+    (one all-reduce, pinned by
+    tests/test_parallel.py::test_sharded_batched_infidelity_flagship).
+
+    The leading batch axis of c_coeffs / n_coeffs / dt must divide the
+    mesh's batch-axis size.  Returns (batch, n_nops), distributed."""
+    def put_batch(a):
+        spec = P('batch', *([None] * (a.ndim - 1)))
+        return jax.device_put(jnp.asarray(a), NamedSharding(mesh, spec))
+
+    p = functional.PulseArrays(
+        _replicate(p.c_opers, mesh), put_batch(p.c_coeffs),
+        _replicate(p.n_opers, mesh), put_batch(p.n_coeffs),
+        put_batch(p.dt), _replicate(p.basis, mesh))
+    omega = shard_omega(omega, mesh)
+    spectrum = shard_omega(spectrum, mesh)
+    return _binfid_jit(p, spectrum, omega)
 
 
 def sharded_error_transfer_matrix(p: functional.PulseArrays, spectrum,

@@ -333,3 +333,61 @@ def test_weak_scaling_collectives_and_parity():
                     if re.search(r'all-reduce(?:-start)?\(', ln)
                     and 'pred[]' not in ln]
     assert data_reduces == [], data_reduces
+
+
+def test_sharded_batched_infidelity_flagship(mesh2x4):
+    """VERDICT r3 item 9: the PRODUCTION batched entry point
+    (functional.batched_infidelity -- the flagship bench path) runs
+    shard-correct over the full (batch, omega) mesh at a
+    flagship-SHAPED problem (d = 16, GGM basis, 1/f spectrum): parity
+    vs the unsharded evaluation, and the compiled HLO carries exactly
+    one all-reduce (the frequency-integral psum within each batch
+    row)."""
+    import re
+
+    local = np.random.default_rng(12)
+    d, G, batch, n_omega = 16, 2, 4, 32
+    a = local.standard_normal((2, d, d)) \
+        + 1j * local.standard_normal((2, d, d))
+    c_opers = (a + a.conj().swapaxes(-1, -2)) / 2
+    a = local.standard_normal((2, d, d)) \
+        + 1j * local.standard_normal((2, d, d))
+    n_opers = (a + a.conj().swapaxes(-1, -2)) / 2
+    from filter_functions_tpu.cplx import asc
+    pb = functional.PulseArrays(
+        c_opers=asc(c_opers),
+        c_coeffs=jnp.asarray(local.standard_normal((batch, 2, G))),
+        n_opers=asc(n_opers),
+        n_coeffs=jnp.asarray(np.ones((batch, 2, G))),
+        dt=jnp.asarray(np.broadcast_to(1 - local.random(G),
+                                       (batch, G)).copy()),
+        basis=ff.Basis.ggm(d).dev)
+    omega = np.geomspace(1e-1, 1e1, n_omega)
+    spectrum = 1e-4 / omega
+
+    got = np.asarray(parallel.sharded_batched_infidelity(
+        pb, spectrum, omega, mesh2x4))
+    want = np.asarray(functional.batched_infidelity(
+        pb, jnp.asarray(spectrum), jnp.asarray(omega)))
+    assert got.shape == (batch, 2)
+    assert_allclose(got, want, rtol=1e-12)
+
+    # collective count: exactly one all-reduce (omega psum); the batch
+    # axis is embarrassingly parallel
+    from filter_functions_tpu.parallel import sharding
+    p_sh = functional.PulseArrays(
+        sharding._replicate(pb.c_opers, mesh2x4),
+        jax.device_put(pb.c_coeffs, jax.NamedSharding(
+            mesh2x4, jax.sharding.PartitionSpec('batch'))),
+        sharding._replicate(pb.n_opers, mesh2x4),
+        jax.device_put(pb.n_coeffs, jax.NamedSharding(
+            mesh2x4, jax.sharding.PartitionSpec('batch'))),
+        jax.device_put(pb.dt, jax.NamedSharding(
+            mesh2x4, jax.sharding.PartitionSpec('batch'))),
+        sharding._replicate(pb.basis, mesh2x4))
+    om = parallel.shard_omega(jnp.asarray(omega), mesh2x4)
+    sp = parallel.shard_omega(jnp.asarray(spectrum), mesh2x4)
+    txt = sharding._binfid_jit.lower(p_sh, sp, om).compile().as_text()
+    n_allreduce = len(re.findall(r'all-reduce(?:-start)?\(', txt))
+    assert n_allreduce == 1, \
+        f'expected one integral psum, HLO has {n_allreduce}'
