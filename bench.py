@@ -162,6 +162,35 @@ def time_ours(batched, omega, spectrum, iters=5):
     return _median_time(times) / BATCH, np.asarray(out)
 
 
+def _pallas_dword_bitexact():
+    """Compiled-TPU bit-exactness pin of the fused Pallas D-word kernel
+    (ops/dword_pallas.dword_digits) against the unfused XLA digit
+    pipeline, at a flagship-shaped deep contraction (K = 2048, 24-bit
+    truncation).  Both paths run identical int32 arithmetic, so the
+    f64 outputs must agree EXACTLY; the result is emitted into the
+    bench JSON so every BENCH_r*.json carries the on-device proof
+    (tests/test_cplx.py runs the same check in interpret mode on CPU).
+    Returns True / False / None (None = not on a TPU backend, or the
+    pallas route unsupported at this shape)."""
+    import jax
+    from filter_functions_tpu.ops import ozaki
+
+    if jax.default_backend() != 'tpu':
+        return None
+    rng = np.random.default_rng(42)
+    M, K, J, Cc = 64, 2048, 3, 256
+    args = [rng.standard_normal(s) * 10.0**rng.integers(-3, 3)
+            for s in ((M, K), (M, K), (K, J), (K, J), (K, Cc), (K, Cc))]
+    outs = {}
+    for mode in ('pallas', 'xla'):
+        outs[mode] = ozaki._ozaki_matmul_c_outer_impl(
+            *map(np.asarray, args), ozaki.DEEP_PRECISION_BITS,
+            'int8', ozaki._recomb_mode(), mode)
+    same = all(np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(outs['pallas'], outs['xla']))
+    return bool(same)
+
+
 def config_qft(iters=5):
     import jax
     import jax.numpy as jnp
@@ -194,7 +223,7 @@ def config_qft(iters=5):
         print(f'# reference timing unavailable: {err}', file=sys.stderr)
         ref_seconds, parity = None, float('nan')
 
-    return {
+    out = {
         'metric': ('batched 4-qubit QFT filter function + infidelity '
                    f'({N_OMEGA} frequencies, batch {BATCH}); '
                    f'infidelity parity vs reference {parity:.2e}'),
@@ -203,6 +232,10 @@ def config_qft(iters=5):
         'vs_baseline': (ref_seconds / seconds_per_pulse
                         if ref_seconds else float('nan')),
     }
+    bitexact = _pallas_dword_bitexact()
+    if bitexact is not None:
+        out['pallas_dword_bitexact_on_device'] = bitexact
+    return out
 
 
 # -----------------------------------------------------------------------------
