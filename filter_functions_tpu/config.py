@@ -268,6 +268,30 @@ def ozaki_factored() -> bool:
     return os.environ.get('FF_TPU_OZAKI_FACTORED', '1') != '0'
 
 
+def ozaki_escalation_tol() -> float:
+    """Escalation threshold of the deep factored contraction: when the
+    cheap in-graph estimate of the operand-quantization noise on the
+    fidelity filter function (numeric._deep_quant_ratio, a sampled
+    |P| @ |D| cancellation bound) exceeds this RELATIVE level, the
+    contraction re-runs at full precision (f64-assembled operands,
+    30-bit truncation) inside a ``lax.cond`` -- so a pathological
+    cancellation cannot silently breach the 1e-10 infidelity-parity
+    contract.  Calibration (CPU, bit-identical decomposition): the
+    estimator reads ~1.2e-3 on the randomized parity ensemble
+    (tests/test_accuracy_policy.py; worst TRUE relative parity there
+    5.5e-8 ~ 1.1e-11 absolute at flagship infidelity scale) and
+    ~1.0e-2 on the flagship bench (true 4e-7 relative = 7.9e-11
+    absolute), but 5.7 on a deliberately pathological deep CPMG-300
+    train whose refocused F(w -> 0) cancels to 5e-12 of its peak
+    (true elementwise FF error there: 9e-4 relative, which escalation
+    cuts to the f64 floor).  The default 0.1 sits 10x above the
+    flagship and 57x below the pathology: healthy workloads never pay
+    the escalation, catastrophic cancellation cannot slip through.
+    0 disables escalation entirely.  Override with
+    FF_TPU_OZAKI_ESCALATE_TOL."""
+    return float(os.environ.get('FF_TPU_OZAKI_ESCALATE_TOL', '0.1'))
+
+
 def eigh_mode() -> str:
     """How d > 2 Hermitian eigendecompositions run on no-complex
     backends (cplx._eigh_impl).

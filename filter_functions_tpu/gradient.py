@@ -110,7 +110,9 @@ def _liouville_derivative(dt: jnp.ndarray, propagators: C, basis: Basis,
     u_deriv = ceinsum('gab,ghbc,gdc->ghad', pre, mid, eigvecs.conj())
     u_deriv = C(u_deriv.im, -u_deriv.re)                 # multiply by -i
 
-    # transformed: Q_{s+1}^dag U_deriv[s] Q_s  for s = 0..n-2
+    # transformed: Q_{s+1}^dag U_deriv[s] Q_s  for s = 0..n-2.
+    # This one is NOT a conjugation (different unitaries left/right),
+    # so the d = 2 SO(3) shortcut does not apply.
     ut = ceinsum('gba,ghbc,gcd->ghad', propagators[1:n].conj(),
                  u_deriv[:n - 1], propagators[:n - 1])
     # propagators_deriv[h, t, s] = theta(s<=t) Q_{t+1} UT[s]
@@ -145,12 +147,18 @@ def calculate_derivative_of_control_matrix_from_scratch(
     n_coeffs = jnp.asarray(np.asarray(n_coeffs, dtype=float))
 
     intermediates = intermediates or {}
-    # (g, j, d, d): V^dag C_j V   [unpropagated, unlike K4's version]
-    basis_transformed = ceinsum('gba,jbc,gcd->gjad', eigvecs.conj(),
-                                basis.dev, eigvecs)
-    # (g, h, d, d): V^dag H_h V   [no coefficients]
-    c_opers_transformed = ceinsum('gba,hbc,gcd->ghad', eigvecs.conj(),
-                                  c_opers, eigvecs)
+    d = eigvecs.shape[-1]
+    if d == 2:
+        # closed-form SU(2) -> SO(3) conjugations (numeric._conjugate_d2)
+        basis_transformed = numeric._conjugate_d2(eigvecs, basis.dev)
+        c_opers_transformed = numeric._conjugate_d2(eigvecs, c_opers)
+    else:
+        # (g, j, d, d): V^dag C_j V  [unpropagated, unlike K4's version]
+        basis_transformed = ceinsum('gba,jbc,gcd->gjad', eigvecs.conj(),
+                                    basis.dev, eigvecs)
+        # (g, h, d, d): V^dag H_h V   [no coefficients]
+        c_opers_transformed = ceinsum('gba,hbc,gcd->ghad',
+                                      eigvecs.conj(), c_opers, eigvecs)
     n_t = intermediates.get('n_opers_transformed')
     if n_t is None:
         n_t = numeric._transform_hamiltonian(eigvecs, n_opers, n_coeffs)

@@ -95,7 +95,7 @@ def main():
                 eigvals, n_t._map(lambda v: v[idx_arr]), b_t,
                 step._map(lambda v: v[:, idx_arr]),
                 cum_pad._map(lambda v: v[:, idx_arr]), omega, dti, ws,
-                dtype=None).re
+                dtype=functional._so_shift_dtype()).re
             k_fn = numeric._cumulant_contract_core(gamma, tg) \
                 + numeric._cumulant_contract_core(delta, td)
             k_total = k_fn.sum(axis=tuple(range(k_fn.ndim - 2)))
@@ -146,7 +146,7 @@ def main():
                 eigvals, n_t._map(lambda v: v[idx_arr]), b_t,
                 step._map(lambda v: v[:, idx_arr]),
                 cum_pad._map(lambda v: v[:, idx_arr]), omega, dti, ws,
-                dtype=None).re
+                dtype=functional._so_shift_dtype()).re
         ev, n_t, b_t, step, cum = x
         return jax.vmap(one)(ev, n_t, b_t, step, cum, iv['dt'])
 

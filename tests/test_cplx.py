@@ -539,6 +539,29 @@ class TestDwordPallas:
         assert not dp.supported(7, 18, 256, 2)        # no K chunking
         assert dp.supported(3328, 18, 256, 2)
 
+    @pytest.mark.skipif(jax.default_backend() != 'tpu',
+                        reason='pins the COMPILED Mosaic kernel, not '
+                               'interpret mode (bench.py emits the '
+                               'same proof into BENCH_r*.json)')
+    def test_outer_contraction_bit_exact_on_device(self):
+        """End-to-end on-device pin: the full factored contraction
+        (ozaki._ozaki_matmul_c_outer_impl) produces bit-identical f64
+        output with dword='pallas' (compiled Mosaic) and dword='xla'
+        at a flagship-shaped deep reduction."""
+        from filter_functions_tpu.ops import ozaki
+        local = np.random.default_rng(42)
+        M, K, J, Cc = 64, 2048, 3, 256
+        args = [local.standard_normal(s) * 10.0**local.integers(-3, 3)
+                for s in ((M, K), (M, K), (K, J), (K, J), (K, Cc),
+                          (K, Cc))]
+        outs = {}
+        for mode in ('pallas', 'xla'):
+            outs[mode] = ozaki._ozaki_matmul_c_outer_impl(
+                *map(np.asarray, args), ozaki.DEEP_PRECISION_BITS,
+                'int8', ozaki._recomb_mode(), mode)
+        for a, b in zip(outs['pallas'], outs['xla']):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+
 
 class TestOzakiOuterGrad:
     """ozaki_matmul_c_outer is reverse-mode differentiable via a
@@ -864,3 +887,110 @@ class TestTransformMxu:
         got = functional.control_matrix(p, omega).to_numpy()
         rel = np.abs(got - ref).max() / np.abs(ref).max()
         assert rel < 1e-8
+
+
+class TestConjugateD2:
+    """numeric._conjugate_d2: the d = 2 closed-form SU(2) -> SO(3)
+    conjugation route (no matmuls) must reproduce the einsum
+    V^dag K V to machine precision for generic U(2) frames (arbitrary
+    global phase), per-g operand stacks, and degenerate frames
+    (diagonal/antidiagonal/identity/pure-phase unitaries, which
+    exercise the det-sqrt branch selection)."""
+
+    def _unitaries(self, local, G):
+        from scipy.linalg import expm
+        vs = []
+        for _ in range(G):
+            h = local.standard_normal((2, 2)) \
+                + 1j * local.standard_normal((2, 2))
+            h = h + h.conj().T
+            vs.append(expm(1j * h) * np.exp(1j * local.standard_normal()))
+        return np.stack(vs)
+
+    def test_matches_einsum(self):
+        from filter_functions_tpu import numeric
+        from filter_functions_tpu.cplx import asc
+        local = np.random.default_rng(21)
+        V = self._unitaries(local, 7)
+        K = local.standard_normal((5, 2, 2)) \
+            + 1j * local.standard_normal((5, 2, 2))
+        want = np.einsum('gba,kbc,gcd->gkad', V.conj(), K, V)
+        got = numeric._conjugate_d2(asc(V), asc(K)).to_numpy()
+        assert_allclose(got, want, atol=1e-13 * np.abs(want).max())
+
+    def test_per_g_operands(self):
+        from filter_functions_tpu import numeric
+        from filter_functions_tpu.cplx import asc
+        local = np.random.default_rng(22)
+        V = self._unitaries(local, 6)
+        K = local.standard_normal((6, 4, 2, 2)) \
+            + 1j * local.standard_normal((6, 4, 2, 2))
+        want = np.einsum('gba,gkbc,gcd->gkad', V.conj(), K, V)
+        got = numeric._conjugate_d2(asc(V), asc(K)).to_numpy()
+        assert_allclose(got, want, atol=1e-13 * np.abs(want).max())
+
+    def test_degenerate_frames(self):
+        from scipy.linalg import expm
+        from filter_functions_tpu import numeric
+        from filter_functions_tpu.cplx import asc
+        local = np.random.default_rng(23)
+        V = np.stack([np.diag([1, -1]).astype(complex),      # det -1
+                      np.array([[0, 1], [1, 0]], complex),   # det -1
+                      np.array([[0, -1j], [1j, 0]]),         # sigma_y
+                      np.eye(2, dtype=complex),
+                      np.diag([1j, 1j]),                     # det -1, im 0
+                      expm(1j * np.pi * np.diag([0.5, -0.5]))])
+        K = local.standard_normal((3, 2, 2)) \
+            + 1j * local.standard_normal((3, 2, 2))
+        want = np.einsum('gba,kbc,gcd->gkad', V.conj(), K, V)
+        got = numeric._conjugate_d2(asc(V), asc(K)).to_numpy()
+        assert_allclose(got, want, atol=1e-13 * np.abs(want).max())
+
+    def test_gradient_flows(self):
+        """The route sits on the GRAPE/differentiation path.  The
+        einsum V^dag K V and the SO(3) form agree as functions only ON
+        the unitary manifold (off it, V^dag . V is not a rotation), so
+        their full Jacobians differ in non-tangent directions -- what
+        must match is the derivative along any UNITARY tangent
+        dV = i H V (H Hermitian), which is what flows through a
+        physically parametrized pipeline (V from eigh of a
+        parametrized Hamiltonian)."""
+        import jax
+        import jax.numpy as jnp
+        from filter_functions_tpu import numeric
+        from filter_functions_tpu.cplx import asc, ceinsum
+        local = np.random.default_rng(24)
+        V = self._unitaries(local, 3)
+        K = local.standard_normal((2, 2, 2)) \
+            + 1j * local.standard_normal((2, 2, 2))
+        Kc = asc(K)
+        h = local.standard_normal((3, 2, 2)) \
+            + 1j * local.standard_normal((3, 2, 2))
+        h = h + h.conj().swapaxes(-1, -2)
+        dV = 1j * h @ V                                # unitary tangent
+
+        # weighted loss: the plain Frobenius norm is unitarily
+        # INVARIANT (derivative identically zero along any unitary
+        # tangent), so weight the elements to get a nontrivial one
+        wt = jnp.asarray(local.standard_normal((3, 2, 2, 2)))
+
+        def loss_d2(vre, vim):
+            out = numeric._conjugate_d2(cplx.C(vre, vim), Kc)
+            return ((out.re + 0.5 * out.im) * wt).sum()
+
+        def loss_einsum(vre, vim):
+            v = cplx.C(vre, vim)
+            out = ceinsum('gba,kbc,gcd->gkad', v.conj(), Kc, v)
+            return ((out.re + 0.5 * out.im) * wt).sum()
+
+        prim = (jnp.asarray(V.real), jnp.asarray(V.imag))
+        tang = (jnp.asarray(dV.real), jnp.asarray(dV.imag))
+        val_d2, jvp_d2 = jax.jvp(loss_d2, prim, tang)
+        val_es, jvp_es = jax.jvp(loss_einsum, prim, tang)
+        assert np.isfinite(float(jvp_d2))
+        assert_allclose(float(val_d2), float(val_es), rtol=1e-12)
+        assert_allclose(float(jvp_d2), float(jvp_es), rtol=1e-9)
+        # reverse mode is finite as well (grad of the composed
+        # pipeline is exercised end-to-end by tests/test_gradient.py)
+        g = jax.grad(loss_d2, argnums=(0, 1))(*prim)
+        assert all(np.isfinite(np.asarray(x)).all() for x in g)

@@ -616,3 +616,133 @@ class TestCorrelationCumulant:
             list(want.n_oper_identifiers)
         assert_allclose(to_np(got.get_filter_function(omega)),
                         want.get_filter_function(omega), atol=1e-10)
+
+
+class TestDoubleSingleK2Lattice:
+    """The native-f32 double-single K2 lattice
+    (numeric._second_order_integral_single_f32, FF_TPU_SO_LATTICE=ds)
+    must match the emulated-f64 lattice at the f32 output target on
+    regular grids, and BEAT it at grazing near-resonances
+    (|y dt| ~ 1e-10) where the f64 route's elementwise
+    (f(x) - f(z))/y cancels catastrophically while the ds route's
+    divided-difference Taylor branch is cancellation-free.  Oracle for
+    the grazing rows: 50-digit mpmath evaluation of the closed form
+    (reference /root/reference/filter_functions/numeric.py:170-256)."""
+
+    def _grids(self):
+        import jax.numpy as jnp
+        local = np.random.default_rng(7)
+        cases = []
+        for trial in range(6):
+            d = [2, 4, 8][trial % 3]
+            scale = [1.0, 1e3][trial % 2]
+            ev = np.sort(local.normal(scale=scale, size=d))
+            dE = (ev[:, None] - ev[None, :]).ravel()
+            dt = abs(local.normal(scale=1 / scale)) + 0.1 / scale
+            omega = np.concatenate([
+                np.geomspace(1e-3 * scale, 1e3 * scale, 40),
+                [-dE[dE != 0][0]],          # exact y == 0 hit
+                [0.0],                      # exact x == 0 column
+            ])
+            cases.append((jnp.asarray(omega), jnp.asarray(ev),
+                          jnp.asarray(dt)))
+        return cases
+
+    def test_matches_f64_lattice_on_regular_grids(self):
+        for omega, ev, dt in self._grids():
+            want = to_np(numeric._second_order_integral_single(
+                omega, ev, dt))
+            got = to_np(numeric._second_order_integral_single_f32(
+                omega, ev, dt)).astype(complex)
+            scale = np.abs(want).max()
+            # f32 output target: ~2^-23 elementwise + Taylor-branch
+            # truncation (1e-2)^3/5! << that
+            assert_allclose(got, want, atol=5e-7 * scale)
+
+    def test_beats_f64_lattice_at_grazing_resonance(self):
+        mpmath = pytest.importorskip('mpmath')
+        import jax.numpy as jnp
+        mp = mpmath.mp
+        old_dps, mp.dps = mp.dps, 50
+        try:
+            local = np.random.default_rng(3)
+            d = 4
+            ev = np.sort(local.normal(size=d))
+            dE = (ev[:, None] - ev[None, :]).ravel()
+            dt = 0.7
+            nz = dE[dE != 0]
+            omega = -nz + local.normal(scale=1e-10 / dt, size=nz.size)
+            f64_lat = to_np(numeric._second_order_integral_single(
+                jnp.asarray(omega), jnp.asarray(ev), jnp.asarray(dt)))
+            ds_lat = to_np(numeric._second_order_integral_single_f32(
+                jnp.asarray(omega), jnp.asarray(ev),
+                jnp.asarray(dt))).astype(complex)
+
+            def frac(u):
+                if u == 0:
+                    return mpmath.mpc(0, dt)
+                return mpmath.expm1(mpmath.mpc(0, 1) * u * dt) / u
+
+            scale = np.abs(f64_lat).max()
+            worst_f64, worst_ds = 0.0, 0.0
+            # adjudicate the largest-disagreement entries
+            diff = np.abs(ds_lat - f64_lat)
+            for flat in np.argsort(diff.ravel())[::-1][:8]:
+                o, i, j, m, n = np.unravel_index(flat, f64_lat.shape)
+                x = mpmath.mpf(dE[i * d + j]) - mpmath.mpf(omega[o])
+                y = mpmath.mpf(omega[o]) + mpmath.mpf(dE[m * d + n])
+                z = (mpmath.mpf(dE[i * d + j])
+                     + mpmath.mpf(dE[m * d + n]))
+                assert y != 0
+                want = complex((frac(x) - frac(z)) / y)
+                worst_f64 = max(worst_f64,
+                                abs(f64_lat[o, i, j, m, n] - want) / scale)
+                worst_ds = max(worst_ds,
+                               abs(ds_lat[o, i, j, m, n] - want) / scale)
+            # f64 lattice cancels (measured ~2.7e-4); ds stays at its
+            # f32 target (measured ~4.5e-8) -- require a 100x win and
+            # absolute correctness of the ds route
+            assert worst_ds < 5e-7, worst_ds
+            assert worst_f64 > 100 * worst_ds, (worst_f64, worst_ds)
+        finally:
+            mp.dps = old_dps
+
+    def test_shifts_route_ds_vs_f64(self, monkeypatch):
+        """End-to-end: _second_order_diag_shifts at f32 working
+        precision gives the same answer (to the f32 target) whether
+        the lattice is built ds or emulated-f64."""
+        import jax.numpy as jnp
+        from filter_functions_tpu.cplx import asc
+
+        local = np.random.default_rng(11)
+        d, G, n_w, n_nops = 3, 4, 31, 2
+        ev = local.standard_normal((G, d))
+        dt = 1 - local.random(G)
+        de = ev[0][:, None] - ev[0][None, :]
+        omega = np.concatenate([np.geomspace(1e-1, 1e1, n_w - 1),
+                                [-de[0, 1]]])
+        n_b = d * d
+        n_t = asc(local.standard_normal((n_nops, G, d, d))
+                  + 1j * local.standard_normal((n_nops, G, d, d)))
+        b_t = asc(local.standard_normal((G, n_b, d, d))
+                  + 1j * local.standard_normal((G, n_b, d, d)))
+        step = asc(local.standard_normal((n_nops, G, n_b, len(omega)))
+                   + 1j * local.standard_normal((n_nops, G, n_b,
+                                                 len(omega))))
+        step = step._map(lambda v: v.swapaxes(0, 1))
+        cum = asc(local.standard_normal((G, n_nops, n_b, len(omega)))
+                  + 1j * local.standard_normal((G, n_nops, n_b,
+                                                len(omega))))
+        w = local.random((n_nops, len(omega)))
+        args = (jnp.asarray(ev), n_t, b_t, step, cum,
+                jnp.asarray(omega), jnp.asarray(dt), jnp.asarray(w))
+
+        monkeypatch.setenv('FF_TPU_SO_FACTORED', '0')
+        monkeypatch.setenv('FF_TPU_SO_LATTICE', 'f64')
+        want = numeric._second_order_diag_shifts(
+            *args, dtype=jnp.float32).to_numpy()
+        monkeypatch.setenv('FF_TPU_SO_LATTICE', 'ds')
+        got = numeric._second_order_diag_shifts(
+            *args, dtype=jnp.float32).to_numpy()
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(got, want, atol=2e-6 * scale)
