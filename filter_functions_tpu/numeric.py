@@ -1243,10 +1243,34 @@ def calculate_control_matrix_from_atomic(
         steps = ceinsum('go,gjko,gkl->gjlo', phases, ctrl[1:], props)
         return C(jnp.concatenate([first.re[None], steps.re]),
                  jnp.concatenate([first.im[None], steps.im]))
-    # 'total': contract the g-sum inside the einsum -- materializing the
-    # (G, n_nops, d**2, n_omega) per-step stack first costs O(G) HBM
-    # traffic (256 MB for a 1e4-pulse train) for data that is reduced
-    # away immediately.
+    # 'total': contract the g-sum inside the contraction --
+    # materializing the (G, n_nops, d**2, n_omega) per-step stack first
+    # costs O(G) HBM traffic (256 MB for a 1e4-pulse train) for data
+    # that is reduced away immediately.  Long trains restructure the
+    # einsum as ONE complex matmul over the joint (g, k) reduction,
+    # X[(j o), (g k)] @ Q[(g k), l] -- on the TPU path _so_matmul rides
+    # the MXU via Ozaki slices, while the f64 einsum lowers to
+    # element-at-a-time emulation (seconds at G = 1e4).
+    g1 = phases.shape[0]
+    if g1 > 64:
+        n_nops, d2 = ctrl.shape[1], ctrl.shape[2]
+        n_w = phases.shape[-1]
+        x = (ctrl[1:] * phases[:, None, None, :])._map(
+            lambda v: v.transpose(1, 3, 0, 2).reshape(n_nops * n_w,
+                                                      g1 * d2))
+        if isinstance(props, C):
+            out = _so_matmul(x, props.reshape(g1 * d2, -1))
+        else:
+            y = props.reshape(g1 * d2, -1)
+            if (x.re.dtype == jnp.float64
+                    and config.contraction_mode() == 'ozaki'):
+                from .ops.ozaki import ozaki_matmul
+                out = C(ozaki_matmul(x.re, y), ozaki_matmul(x.im, y))
+            else:
+                out = C(x.re @ y, x.im @ y)        # ((j o), l)
+        out = out.reshape(n_nops, n_w, -1)._map(
+            lambda v: v.transpose(0, 2, 1))        # (j, l, o)
+        return first + out
     return first + ceinsum('go,gjko,gkl->jlo', phases, ctrl[1:], props)
 
 

@@ -67,6 +67,64 @@ def _concatenate_hamiltonian(opers, identifiers, coeffs, kind: str):
             return (np.asarray(opers[0]), np.array(idents),
                     concat_coeffs, mapping)
 
+    if len(opers) > 64:
+        # Few-distinct fast path (random/Clifford trains of cached
+        # pulses): run the union/clash machinery on the DISTINCT
+        # (opers, identifiers, coeffs) triples only and expand the
+        # coefficient grid by one vectorized gather -- the general
+        # path below walks O(G) Python per pulse, which dominates a
+        # 1e4-pulse concatenation.  Falls through whenever an
+        # identifier rename fires (its position-suffix semantics
+        # depend on the full train) or segment counts differ.
+        keyed: Dict[tuple, int] = {}
+        didx = np.empty(len(opers), np.int32)
+        d_op, d_id, d_co = [], [], []
+        for g in range(len(opers)):
+            key = (id(opers[g]), id(identifiers[g]), id(coeffs[g]))
+            j = keyed.get(key)
+            if j is None:
+                j = keyed[key] = len(d_op)
+                d_op.append(opers[g])
+                d_id.append(identifiers[g])
+                d_co.append(coeffs[g])
+            didx[g] = j
+        n_k = len(d_op)
+        if (n_k <= len(opers) // 4
+                and len({np.asarray(c).shape[1] for c in d_co}) == 1):
+            c_opers, c_idents, c_coeffs_d, map_d = \
+                _concatenate_hamiltonian(d_op, d_id, d_co, kind)
+            no_renames = all(k == v for m in map_d.values()
+                             for k, v in m.items())
+            if no_renames:
+                n_rows = len(c_idents)
+                row_of = {ident: r for r, ident in enumerate(c_idents)}
+                n_dt = np.asarray(d_co[0]).shape[1]
+                # per-distinct coefficient tiles in the merged row
+                # order (NaN where a pulse lacks the operator)
+                tiles = np.full((n_k, n_rows, n_dt), np.nan)
+                for k in range(n_k):
+                    rows = [row_of[map_d[k][str(i)]] for i in d_id[k]]
+                    tiles[k, rows] = np.asarray(d_co[k])
+                if kind == 'noise':
+                    nan_mask = np.isnan(tiles)
+                    for row in np.nonzero(nan_mask.any((0, 2)))[0]:
+                        known = tiles[:, row][~nan_mask[:, row]]
+                        if (known == known[0]).all():
+                            tiles[:, row][nan_mask[:, row]] = known[0]
+                        else:
+                            raise ValueError(
+                                'Not all pulses have the same noise '
+                                'operators and non-trivial noise '
+                                'sensitivities so I cannot infer them.')
+                else:
+                    tiles[np.isnan(tiles)] = 0
+                full = tiles[didx]                 # (G, n_rows, n_dt)
+                concat_coeffs = full.transpose(1, 0, 2).reshape(
+                    n_rows, len(opers) * n_dt)
+                mapping = {p: map_d[int(didx[p])]
+                           for p in range(len(opers))}
+                return c_opers, c_idents, concat_coeffs, mapping
+
     n_dt_per_pulse = [c.shape[1] for c in coeffs]
     seg_bounds = [0] + list(accumulate(n_dt_per_pulse))
     n_ops_per_pulse = [len(op) for op in opers]
@@ -343,12 +401,14 @@ def concatenate(pulses: Iterable[PulseSequence],
 
     # Long trains repeat pulse objects ([p] * G, Clifford sequences):
     # evaluate per-pulse properties once per DISTINCT object and fan
-    # out by identity instead of O(G) attribute/cache lookups.
-    uniq_pulses = {id(p): p for p in pulses}
+    # out by identity instead of O(G) attribute/cache lookups.  The
+    # id list is walked several times -- compute it once.
+    pulse_ids = [id(p) for p in pulses]
+    uniq_pulses = dict(zip(pulse_ids, pulses))
 
     def per_pulse(fn):
         vals = {k: fn(p) for k, p in uniq_pulses.items()}
-        return [vals[id(p)] for p in pulses]
+        return [vals[i] for i in pulse_ids]
 
     if all(p.is_cached('total_propagator')
            for p in uniq_pulses.values()):
@@ -479,8 +539,7 @@ def concatenate(pulses: Iterable[PulseSequence],
             stacked = jnp.broadcast_to(
                 first, (len(props_liouville),) + first.shape)
         else:
-            stacked = jnp.stack([jnp.asarray(pl)
-                                 for pl in props_liouville])
+            stacked = _stack_real(props_liouville)
         propagators_liouville = util.adot(stacked)
 
     # atomic control matrices, sorted into the new noise-operator order
@@ -580,16 +639,55 @@ def _boundary_phases(omega: jnp.ndarray, t_bound: jnp.ndarray) -> C:
     return cexp(t_bound[:, None] * omega[None, :])
 
 
+def _stack_real(items: Sequence) -> jnp.ndarray:
+    """Stack real device arrays along a new leading axis, gathering
+    from the distinct objects when a long list repeats few of them
+    (cf. :func:`_stack_c`)."""
+    if len(items) > 64:
+        uniq: Dict[int, int] = {}
+        distinct = []
+        idx = np.empty(len(items), np.int32)
+        for i, it in enumerate(items):
+            k = uniq.get(id(it))
+            if k is None:
+                k = uniq[id(it)] = len(distinct)
+                distinct.append(it)
+            idx[i] = k
+        if len(distinct) <= len(items) // 4:
+            base = jnp.stack([jnp.asarray(d) for d in distinct])
+            return jnp.take(base, jnp.asarray(idx), axis=0)
+    return jnp.stack([jnp.asarray(pl) for pl in items])
+
+
 def _stack_c(items: Sequence) -> C:
     """Stack a list of C (or array) matrices along a new leading axis.
 
     When all entries are the same object (e.g. ``concatenate([p] * G)``)
-    this broadcasts instead of building a G-ary concatenate graph."""
+    this broadcasts instead of building a G-ary concatenate graph; when
+    a long list repeats FEW distinct objects (random/Clifford trains of
+    cached pulses) it stacks the distinct ones and gathers by index --
+    a G-ary ``jnp.stack`` costs O(G) trace operands and minutes of XLA
+    compile at G = 1e4."""
     if len(items) > 1 and all(i is items[0] for i in items):
         first = asc(items[0])
         shape = (len(items),) + first.shape
         return C(jnp.broadcast_to(first.re, shape),
                  jnp.broadcast_to(first.im, shape))
+    if len(items) > 64:
+        uniq: Dict[int, int] = {}
+        distinct = []
+        idx = np.empty(len(items), np.int32)
+        for i, it in enumerate(items):
+            k = uniq.get(id(it))
+            if k is None:
+                k = uniq[id(it)] = len(distinct)
+                distinct.append(it)
+            idx[i] = k
+        if len(distinct) <= len(items) // 4:
+            base = _stack_c(distinct)
+            ind = jnp.asarray(idx)
+            return C(jnp.take(base.re, ind, axis=0),
+                     jnp.take(base.im, ind, axis=0))
     items = [asc(i) for i in items]
     return C(jnp.stack([i.re for i in items]),
              jnp.stack([i.im for i in items]))

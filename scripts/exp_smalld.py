@@ -63,8 +63,7 @@ def main():
                                                       eigvecs)
             n_t = numeric._transform_hamiltonian(eigvecs, p.n_opers,
                                                  p.n_coeffs[0])
-            b_t = ceinsum('gba,kbc,gcd->gkad', ev_prop.conj(), p.basis,
-                          ev_prop)
+            b_t = numeric._conjugate_d2(ev_prop, p.basis)
             t = jnp.concatenate([jnp.zeros(1, dt.dtype), jnp.cumsum(dt)])
             ph = numeric.cexp(t[:-1, None] * omega[None, :])
             integral = numeric._first_order_integral_batched(
@@ -100,7 +99,7 @@ def main():
 
     def s_basis_t(x):
         def one(evp):
-            return ceinsum('gba,kbc,gcd->gkad', evp.conj(), p.basis, evp)
+            return numeric._conjugate_d2(evp, p.basis)
         return jax.vmap(one)(x)
 
     def s_phase(x):
