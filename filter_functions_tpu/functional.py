@@ -46,9 +46,15 @@ def make_pulse_arrays(pulse) -> PulseArrays:
                        jnp.asarray(pulse.dt), pulse.basis.dev)
 
 
-def control_matrix(p: PulseArrays, omega: jnp.ndarray) -> C:
+def control_matrix(p: PulseArrays, omega: jnp.ndarray,
+                   escalation: str = 'auto') -> C:
     """Control matrix (n_nops, n_b, n_omega) from raw arrays: the full
-    diagonalize -> propagate -> contract pipeline under one trace."""
+    diagonalize -> propagate -> contract pipeline under one trace.
+
+    *escalation* is forwarded to :func:`numeric._ctrlmat_contract`:
+    'auto' (in-graph cond; correct unbatched), 'stat' (returns
+    ``(ctrl, ratio)``; what batched callers vmap), 'force'
+    (full-precision recompute)."""
     from . import config
     ham = ceinsum('jmn,jg->gmn', p.c_opers, p.c_coeffs)
     eigvals, eigvecs, propagators = numeric._diagonalize_jit(ham, p.dt)
@@ -58,7 +64,7 @@ def control_matrix(p: PulseArrays, omega: jnp.ndarray) -> C:
         eigvals, eigvecs, propagators[:-1], omega, p.basis, p.n_opers,
         p.n_coeffs, p.dt, t[:-1],
         transform_dtype=config.transform_dtype(G * d * d))
-    return numeric._ctrlmat_contract(n_t, integral, b_t, ph)
+    return numeric._ctrlmat_contract(n_t, integral, b_t, ph, escalation)
 
 
 def fidelity_filter_function(p: PulseArrays, omega: jnp.ndarray) -> C:
@@ -239,13 +245,38 @@ def _infid_prep(p: PulseArrays, c_coeffs, n_coeffs, dt, omega):
         transform_dtype=config.transform_dtype(G * d * d))
 
 
-def _infid_contract(terms, spectrum, omega, d: int):
+def _infid_contract(terms, spectrum, omega, d: int,
+                    escalation: str = 'auto'):
     """Control-matrix contraction + spectral integral (the MXU-heavy
-    back of the infidelity pipeline); matches :func:`infidelity`."""
+    back of the infidelity pipeline); matches :func:`infidelity`.
+
+    With ``escalation='stat'`` returns ``(infidelity, ratio)`` where
+    *ratio* is the scalar quantization-noise statistic of the deep
+    factored contraction (0 when that regime is off)."""
     _, n_t, b_t, ph, integral = terms
-    ctrl = numeric._ctrlmat_contract(n_t, integral, b_t, ph)
+    res = numeric._ctrlmat_contract(n_t, integral, b_t, ph, escalation)
+    ctrl, ratio = res if escalation == 'stat' else (res, None)
     diag = (ctrl.re * ctrl.re + ctrl.im * ctrl.im).sum(axis=1)
-    return util.integrate(diag * spectrum, omega) / (2 * np.pi * d)
+    infid = util.integrate(diag * spectrum, omega) / (2 * np.pi * d)
+    return (infid, ratio) if escalation == 'stat' else infid
+
+
+def _escalation_tol(p: PulseArrays) -> float:
+    """The active escalation threshold for this pulse's contraction, or
+    0 when escalation cannot fire (native mode, unfactored, shallow /
+    very deep reduction, or escalation disabled) -- resolved at trace
+    time so healthy shapes never carry the recompute branch."""
+    from . import config
+    if (config.contraction_mode() != 'ozaki'
+            or not config.ozaki_factored()):
+        return 0.0
+    from .ops.ozaki import DEFAULT_PRECISION_BITS, _slice_params
+    G = p.dt.shape[-1]
+    d = p.c_opers.shape[-1]
+    sb, _ = _slice_params(G * d * d, DEFAULT_PRECISION_BITS)
+    if sb not in (5, 6):
+        return 0.0
+    return config.ozaki_escalation_tol()
 
 
 def batched_infidelity(p: PulseArrays, spectrum: jnp.ndarray,
@@ -270,37 +301,82 @@ def batched_infidelity(p: PulseArrays, spectrum: jnp.ndarray,
     measured 11.23 -> 10.97 ms/pulse on the flagship
     (scripts/exp_pipeline.py).
 
-    Output shape (batch, n_nops)."""
-    def single(c_coeffs, n_coeffs, dt):
-        return infidelity(
-            PulseArrays(p.c_opers, c_coeffs, p.n_opers, n_coeffs, dt,
-                        p.basis), spectrum, omega)
+    Precision escalation is decided OUTSIDE the vmap: the fast pass
+    collects each pulse's cancellation statistic
+    (numeric._deep_quant_ratio) and a single scalar ``lax.cond`` on the
+    batch maximum re-runs the whole batch at full precision only when
+    some pulse predicts a parity breach.  (Leaving the reference cond
+    inside the vmapped contraction lowers it to a both-branches
+    ``select`` -- every healthy call then pays the escalated recompute,
+    the round-4 flagship regression.)
 
+    Output shape (batch, n_nops)."""
     batch = p.c_coeffs.shape[0]
+    d = p.c_opers.shape[-1]
+
+    def single(c_coeffs, n_coeffs, dt, escalation):
+        terms = _infid_prep(p, c_coeffs, n_coeffs, dt, omega)
+        return _infid_contract(terms, spectrum, omega, d, escalation)
+
+    if chunk_size is None or chunk_size >= batch:
+        infid, ratios = jax.vmap(
+            lambda cc, nc, dts: single(cc, nc, dts, 'stat'))(
+            p.c_coeffs, p.n_coeffs, p.dt)
+    else:
+        if chunk_size < 1 or batch % chunk_size:
+            raise ValueError(f'chunk_size {chunk_size} must be positive '
+                             f'and divide batch {batch}')
+        vprep = jax.vmap(
+            lambda cc, nc, dts: _infid_prep(p, cc, nc, dts, omega))
+        vcontract = jax.vmap(
+            lambda terms: _infid_contract(terms, spectrum, omega, d,
+                                          'stat'))
+
+        n_chunks = batch // chunk_size
+        parts = tuple(a.reshape((n_chunks, chunk_size) + a.shape[1:])
+                      for a in (p.c_coeffs, p.n_coeffs, p.dt))
+        carry0 = vprep(parts[0][0], parts[1][0], parts[2][0])
+
+        def body(carry, xs):
+            out = vcontract(carry)           # chunk i   (MXU-heavy)
+            new = vprep(*xs)                 # chunk i+1 (VPU-heavy)
+            return new, out
+
+        last, outs = jax.lax.scan(body, carry0,
+                                  tuple(x[1:] for x in parts))
+        infid_last, ratio_last = vcontract(last)
+        infid = jnp.concatenate(
+            [outs[0].reshape((-1,) + outs[0].shape[2:]), infid_last])
+        ratios = jnp.concatenate([outs[1].reshape(-1), ratio_last])
+
+    tol = _escalation_tol(p)
+    if tol <= 0:
+        return infid
+
+    def _forced(operand):
+        pb, s, om = operand
+        return _batched_infidelity_forced(pb, s, om, chunk_size)
+
+    return jax.lax.cond(ratios.max() > tol, _forced,
+                        lambda operand: infid, (p, spectrum, omega))
+
+
+def _batched_infidelity_forced(p: PulseArrays, spectrum, omega,
+                               chunk_size: Optional[int]) -> jnp.ndarray:
+    """Full-precision recompute of the whole batch (escalated branch of
+    :func:`batched_infidelity`; rare, so plain serial chunking)."""
+    batch = p.c_coeffs.shape[0]
+    d = p.c_opers.shape[-1]
+
+    def single(c_coeffs, n_coeffs, dt):
+        terms = _infid_prep(p, c_coeffs, n_coeffs, dt, omega)
+        return _infid_contract(terms, spectrum, omega, d, 'force')
+
     if chunk_size is None or chunk_size >= batch:
         return jax.vmap(single)(p.c_coeffs, p.n_coeffs, p.dt)
-    if chunk_size < 1 or batch % chunk_size:
-        raise ValueError(f'chunk_size {chunk_size} must be positive and '
-                         f'divide batch {batch}')
-
-    d = p.c_opers.shape[-1]
-    vprep = jax.vmap(
-        lambda cc, nc, dts: _infid_prep(p, cc, nc, dts, omega))
-    vcontract = jax.vmap(
-        lambda terms: _infid_contract(terms, spectrum, omega, d))
-
     n_chunks = batch // chunk_size
     parts = tuple(a.reshape((n_chunks, chunk_size) + a.shape[1:])
                   for a in (p.c_coeffs, p.n_coeffs, p.dt))
-    carry0 = vprep(parts[0][0], parts[1][0], parts[2][0])
-
-    def body(carry, xs):
-        out = vcontract(carry)               # chunk i   (MXU-heavy)
-        new = vprep(*xs)                     # chunk i+1 (VPU-heavy)
-        return new, out
-
-    last, outs = jax.lax.scan(body, carry0,
-                              tuple(x[1:] for x in parts))
-    out_last = vcontract(last)
-    return jnp.concatenate([outs.reshape((-1,) + outs.shape[2:]),
-                            out_last])
+    _, outs = jax.lax.scan(
+        lambda carry, xs: (carry, jax.vmap(single)(*xs)), None, parts)
+    return outs.reshape((-1,) + outs.shape[2:])

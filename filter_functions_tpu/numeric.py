@@ -998,7 +998,7 @@ def _deep_quant_ratio(out_re, out_im, p: C, b_fac: C, c_fac: C,
 
 
 def _ctrlmat_contract(n_opers_transformed, integral, basis_transformed,
-                      phase_factors) -> C:
+                      phase_factors, escalation: str = 'auto'):
     """The dominant contraction 'go,jgmn,gomn,gknm->jko'
     (numeric.py:843-869).
 
@@ -1008,11 +1008,32 @@ def _ctrlmat_contract(n_opers_transformed, integral, basis_transformed,
     D[(mn),(jk)] = Bbar_j[mn] * Cbar_k[nm] (frequency-independent), so
     the omega-lattice work rides the MXU via bf16-slice matmuls instead
     of XLA's scalar f64 emulation (~2 orders of magnitude faster).
+
+    *escalation* controls the deep factored path's automatic
+    full-precision recompute (config.ozaki_escalation_tol):
+
+    'auto'  -- decide in-graph under a ``lax.cond``.  Correct ONLY for
+               unbatched callers: under ``jax.vmap`` the batched
+               predicate lowers the cond to a both-branches ``select``
+               and every call pays the escalated recompute (the round-4
+               flagship regression, 9.9 -> 24.3 ms/pulse).
+    'stat'  -- never escalate here; return ``(out, ratio)`` where
+               *ratio* is the scalar noise-to-signal statistic
+               (:func:`_deep_quant_ratio`; 0 when the deep factored
+               regime or escalation is off).  Batched callers vmap this
+               variant, reduce ``max`` over the batch OUTSIDE the vmap,
+               and re-run escalated under one scalar cond
+               (functional.batched_infidelity).
+    'force' -- the escalated computation itself: f64 operand assembly,
+               ``max(30, DEFAULT_PRECISION_BITS)``-bit truncation.
     """
     from . import config
     if config.contraction_mode() != 'ozaki':
-        return ceinsum('go,jgmn,gomn,gknm->jko', phase_factors,
-                       n_opers_transformed, integral, basis_transformed)
+        out = ceinsum('go,jgmn,gomn,gknm->jko', phase_factors,
+                      n_opers_transformed, integral, basis_transformed)
+        if escalation == 'stat':
+            return out, jnp.zeros((), jnp.float32)
+        return out
 
     from .ops.ozaki import ozaki_matmul_c
     G, n_w, d, _ = integral.shape
@@ -1031,8 +1052,10 @@ def _ctrlmat_contract(n_opers_transformed, integral, basis_transformed,
     # f64 assembly at DEFAULT_PRECISION_BITS.  Measured: 18.9 ms/pulse
     # at 8.3e-11 flagship infidelity parity (deep), reference-level
     # raw-FF parity for d = 2 trains (shallow).
-    deep = sb in (5, 6)
+    deep = sb in (5, 6) and escalation != 'force'
     bits = DEEP_PRECISION_BITS if deep else DEFAULT_PRECISION_BITS
+    if escalation == 'force':
+        bits = max(30, DEFAULT_PRECISION_BITS)
     f_p = config.ozaki_operand_dtype('P') if deep else jnp.float64
     f_d = config.ozaki_operand_dtype('D') if deep else jnp.float64
 
@@ -1070,7 +1093,18 @@ def _ctrlmat_contract(n_opers_transformed, integral, basis_transformed,
             p_big.re, p_big.im, b_fac.re, b_fac.im, c_fac.re, c_fac.im,
             bits)
         tol = config.ozaki_escalation_tol()
-        if tol > 0:
+        if tol > 0 and escalation == 'stat':
+            # Hand the cancellation statistic to the caller, who
+            # reduces it across the batch OUTSIDE any vmap and decides
+            # the recompute under a single scalar cond -- the in-graph
+            # cond below degenerates to a both-branches select when
+            # this function is vmapped (round-4 flagship regression).
+            ratio = _deep_quant_ratio(out_re, out_im, p_big, b_fac,
+                                      c_fac, n_nops, n_basis)
+            out = C(out_re.astype(f64), out_im.astype(f64)).reshape(
+                n_w, n_nops, n_basis)
+            return (out._map(lambda x: x.transpose(1, 2, 0)), ratio)
+        if tol > 0 and escalation == 'auto':
             # Automatic escalation: the factored fast path quantizes
             # its operands (f32 P assembly, 23-bit fixed-point B/C
             # factors).  Estimate the resulting RELATIVE noise on the
@@ -1110,7 +1144,11 @@ def _ctrlmat_contract(n_opers_transformed, integral, basis_transformed,
                                         d_big.re, d_big.im, bits)
     out = C(out_re.astype(f64), out_im.astype(f64)).reshape(
         n_w, n_nops, n_basis)
-    return out._map(lambda x: x.transpose(1, 2, 0))        # (j, k, o)
+    out = out._map(lambda x: x.transpose(1, 2, 0))         # (j, k, o)
+    if escalation == 'stat':
+        # full-precision (or escalation-off) route: nothing to escalate
+        return out, jnp.zeros((), jnp.float32)
+    return out
 
 
 def _ctrlmat_step_contract(n_opers_transformed, integral, basis_transformed,

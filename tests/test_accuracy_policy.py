@@ -110,6 +110,145 @@ def test_deep_policy_parity_ensemble(monkeypatch):
           f'(ceiling {REL_TOL:.0e})')
 
 
+def _walk_eqns(jaxpr, skip_cond_branches):
+    """Yield primitive names of every reachable eqn; optionally do not
+    descend into ``cond`` branches (their work only runs when taken)."""
+    for eqn in jaxpr.eqns:
+        yield eqn.primitive.name
+        if eqn.primitive.name == 'cond' and skip_cond_branches:
+            continue
+        for v in eqn.params.values():
+            vs = v if isinstance(v, (list, tuple)) else [v]
+            for x in vs:
+                name = type(x).__name__
+                if name == 'ClosedJaxpr':
+                    yield from _walk_eqns(x.jaxpr, skip_cond_branches)
+                elif name == 'Jaxpr':
+                    yield from _walk_eqns(x, skip_cond_branches)
+
+
+def _deep_batch(d=4, G=128, batch=2, n_omega=32):
+    import jax.numpy as jnp
+    from filter_functions_tpu import functional
+    rng = np.random.default_rng(0)
+    arr = rand_pulse_arrays(d, G, n_cops=2, n_nops=2, local_rng=rng)
+    p = functional.make_pulse_arrays(make_pulse(arr))
+    pb = functional.PulseArrays(
+        p.c_opers, jnp.stack([p.c_coeffs * (1 + 0.01 * i)
+                              for i in range(batch)]),
+        p.n_opers,
+        jnp.broadcast_to(p.n_coeffs, (batch,) + p.n_coeffs.shape),
+        jnp.broadcast_to(p.dt, (batch,) + p.dt.shape), p.basis)
+    omega = jnp.asarray(np.geomspace(1e-1, 1e1, n_omega))
+    return pb, 1e-3 / omega, omega
+
+
+def test_batched_fast_path_carries_no_escalation(monkeypatch):
+    """Round-4 flagship regression pin (VERDICT r4 item 1): the Ozaki
+    escalation decision in ``batched_infidelity`` must be ONE scalar
+    ``lax.cond`` hoisted outside the vmap -- never a per-pulse cond
+    under the vmap, which lowers to a both-branches ``select`` and
+    makes every healthy batched call pay the full-precision recompute
+    (BENCH_r03 9.9 -> BENCH_r04 24.3 ms/pulse).
+
+    Pins, at a deep-policy shape (K = G d^2 = 2048):
+    1. the traced program contains exactly ONE cond primitive,
+    2. the dot_general count OUTSIDE that cond equals the count of the
+       escalation-disabled build -- the steady-state fast pass carries
+       zero full-precision contraction work,
+    3. the compiled HLO retains a real ``conditional`` (it did not
+       degenerate to a select)."""
+    import re
+
+    import jax
+    from filter_functions_tpu import functional
+
+    monkeypatch.setenv('FF_TPU_CONTRACT', 'ozaki')
+    pb, spectrum, omega = _deep_batch()
+
+    # a FRESH callable per trace: jax caches traces on the function
+    # object, and the config env knobs are read at trace time
+    def fresh():
+        return lambda b, s, o: functional.batched_infidelity(b, s, o)
+
+    jx = jax.make_jaxpr(fresh())(pb, spectrum, omega)
+    prims_all = list(_walk_eqns(jx.jaxpr, skip_cond_branches=False))
+    dots_outside = list(_walk_eqns(jx.jaxpr,
+                                   skip_cond_branches=True)
+                        ).count('dot_general')
+    assert prims_all.count('cond') == 1, (
+        f'expected exactly one (outer, scalar) escalation cond, found '
+        f'{prims_all.count("cond")}')
+
+    monkeypatch.setenv('FF_TPU_OZAKI_ESCALATE_TOL', '0')
+    jx0 = jax.make_jaxpr(fresh())(pb, spectrum, omega)
+    prims0 = list(_walk_eqns(jx0.jaxpr, skip_cond_branches=False))
+    monkeypatch.delenv('FF_TPU_OZAKI_ESCALATE_TOL')
+    assert prims0.count('cond') == 0
+    assert dots_outside == prims0.count('dot_general'), (
+        f'the batched fast pass carries escalated contraction work: '
+        f'{dots_outside} dot_generals outside the cond vs '
+        f'{prims0.count("dot_general")} with escalation disabled')
+
+    txt = jax.jit(fresh()).lower(pb, spectrum, omega).compile().as_text()
+    assert len(re.findall(r' conditional\(', txt)) >= 1, (
+        'the scalar escalation cond was lowered away (select?) -- '
+        'the escalated branch would run unconditionally')
+
+
+@pytest.mark.slow
+def test_batched_escalation_on_cancellation_pathology(monkeypatch):
+    """VERDICT r4 item 7: the CPMG-300 cancellation pathology through
+    the PRODUCTION batched entry point.  With a low-frequency-weighted
+    spectrum (S ~ 1/w^2, concentrating the integral where the train
+    refocuses by ~11 orders), the unescalated fast path misses at
+    ~4e-7 relative; the batch-level escalation cond must fire and
+    restore parity to the 30-bit floor (measured 1.9e-9)."""
+    import jax
+    import jax.numpy as jnp
+    from filter_functions_tpu import functional
+
+    H, dt = generate_dd_hamiltonian(300, tau=10, tau_pi=1e-2,
+                                    dd_type='cpmg')
+    G = len(dt)
+    Z = np.array([[1, 0], [0, -1]], complex)
+    pulse = ff.PulseSequence(H, [[Z / 2, np.ones(G), 'Z']], dt)
+    p = functional.make_pulse_arrays(pulse)
+    batch = 2
+    pb = functional.PulseArrays(
+        p.c_opers, jnp.stack([p.c_coeffs, p.c_coeffs * 1.0000001]),
+        p.n_opers,
+        jnp.broadcast_to(p.n_coeffs, (batch,) + p.n_coeffs.shape),
+        jnp.broadcast_to(p.dt, (batch,) + p.dt.shape), p.basis)
+    omega = jnp.asarray(np.geomspace(1e-4, 1e2, 100))
+    spectrum = jnp.asarray(1e-3 / np.asarray(omega)**2)
+
+    def run():
+        fn = jax.jit(lambda b, s, o: functional.batched_infidelity(
+            b, s, o))
+        return np.asarray(fn(pb, spectrum, omega))
+
+    monkeypatch.setenv('FF_TPU_CONTRACT', 'native')
+    want = run()
+    monkeypatch.setenv('FF_TPU_CONTRACT', 'ozaki')
+    got_default = run()
+    monkeypatch.setenv('FF_TPU_OZAKI_ESCALATE_TOL', '1e30')
+    got_fast = run()
+    monkeypatch.delenv('FF_TPU_OZAKI_ESCALATE_TOL')
+
+    scale = np.abs(want).max()
+    rel_default = np.abs(got_default - want).max() / scale
+    rel_fast = np.abs(got_fast - want).max() / scale
+    # the unescalated fast path is demonstrably off ...
+    assert rel_fast > 1e-7, (
+        f'pathology no longer discriminates through the integral: '
+        f'{rel_fast:.2e}')
+    # ... and the batch-level escalation fixes it
+    assert rel_default < 1e-8, (
+        f'batch-level escalation failed to fire or to restore parity: '
+        f'{rel_default:.2e} (unescalated: {rel_fast:.2e})')
+
+
 @pytest.mark.slow
 def test_escalation_on_cancellation_pathology(monkeypatch):
     """A deep (K = 2404) CPMG-300 train refocuses its dephasing FF by
