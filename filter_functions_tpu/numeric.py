@@ -56,6 +56,11 @@ __all__ = ['calculate_control_matrix_from_atomic',
            'calculate_second_order_filter_function_from_atomic',
            'diagonalize', 'error_transfer_matrix', 'infidelity']
 
+#: Diagnostic counters for shape-gated fast paths (tests assert the
+#: branches are actually entered at scale; no runtime semantics).
+from collections import Counter as _Counter
+_fastpath_hits = _Counter()
+
 
 # -----------------------------------------------------------------------------
 # Shared helpers
@@ -1291,6 +1296,7 @@ def calculate_control_matrix_from_atomic(
     # element-at-a-time emulation (seconds at G = 1e4).
     g1 = phases.shape[0]
     if g1 > 64:
+        _fastpath_hits['from_atomic_matmul'] += 1
         n_nops, d2 = ctrl.shape[1], ctrl.shape[2]
         n_w = phases.shape[-1]
         x = (ctrl[1:] * phases[:, None, None, :])._map(

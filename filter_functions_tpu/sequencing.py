@@ -32,6 +32,11 @@ from .types import Coefficients, Hamiltonian, PulseMapping
 __all__ = ['concatenate', 'concatenate_periodic', 'extend', 'remap',
            'concatenate_without_filter_function']
 
+#: Diagnostic counters for the len > 64 fast paths (tests assert the
+#: branches are actually entered at scale; no runtime semantics).
+from collections import Counter as _Counter
+_fastpath_hits = _Counter()
+
 
 # -----------------------------------------------------------------------------
 # Hamiltonian union (host-side metadata algebra)
@@ -73,9 +78,11 @@ def _concatenate_hamiltonian(opers, identifiers, coeffs, kind: str):
         # (opers, identifiers, coeffs) triples only and expand the
         # coefficient grid by one vectorized gather -- the general
         # path below walks O(G) Python per pulse, which dominates a
-        # 1e4-pulse concatenation.  Falls through whenever an
-        # identifier rename fires (its position-suffix semantics
-        # depend on the full train) or segment counts differ.
+        # 1e4-pulse concatenation.  Distinct pulses may have different
+        # segment counts (Clifford trains mix 1-3-segment members);
+        # the gather then assembles variable-width column blocks.
+        # Falls through whenever an identifier rename fires (its
+        # position-suffix semantics depend on the full train).
         keyed: Dict[tuple, int] = {}
         didx = np.empty(len(opers), np.int32)
         d_op, d_id, d_co = [], [], []
@@ -89,38 +96,46 @@ def _concatenate_hamiltonian(opers, identifiers, coeffs, kind: str):
                 d_co.append(coeffs[g])
             didx[g] = j
         n_k = len(d_op)
-        if (n_k <= len(opers) // 4
-                and len({np.asarray(c).shape[1] for c in d_co}) == 1):
+        if n_k <= len(opers) // 4:
             c_opers, c_idents, c_coeffs_d, map_d = \
                 _concatenate_hamiltonian(d_op, d_id, d_co, kind)
             no_renames = all(k == v for m in map_d.values()
                              for k, v in m.items())
             if no_renames:
+                _fastpath_hits['few_distinct'] += 1
                 n_rows = len(c_idents)
                 row_of = {ident: r for r, ident in enumerate(c_idents)}
-                n_dt = np.asarray(d_co[0]).shape[1]
+                widths = np.array([np.asarray(c).shape[1] for c in d_co])
                 # per-distinct coefficient tiles in the merged row
-                # order (NaN where a pulse lacks the operator)
-                tiles = np.full((n_k, n_rows, n_dt), np.nan)
+                # order (NaN where a pulse lacks the operator),
+                # concatenated along columns at offsets off[k]
+                cat = np.full((n_rows, int(widths.sum())), np.nan)
+                off = np.concatenate([[0], np.cumsum(widths)[:-1]])
                 for k in range(n_k):
                     rows = [row_of[map_d[k][str(i)]] for i in d_id[k]]
-                    tiles[k, rows] = np.asarray(d_co[k])
+                    cat[rows, off[k]:off[k] + widths[k]] = \
+                        np.asarray(d_co[k])
                 if kind == 'noise':
-                    nan_mask = np.isnan(tiles)
-                    for row in np.nonzero(nan_mask.any((0, 2)))[0]:
-                        known = tiles[:, row][~nan_mask[:, row]]
+                    nan_mask = np.isnan(cat)
+                    for row in np.nonzero(nan_mask.any(1))[0]:
+                        known = cat[row][~nan_mask[row]]
                         if (known == known[0]).all():
-                            tiles[:, row][nan_mask[:, row]] = known[0]
+                            cat[row, nan_mask[row]] = known[0]
                         else:
                             raise ValueError(
                                 'Not all pulses have the same noise '
                                 'operators and non-trivial noise '
                                 'sensitivities so I cannot infer them.')
                 else:
-                    tiles[np.isnan(tiles)] = 0
-                full = tiles[didx]                 # (G, n_rows, n_dt)
-                concat_coeffs = full.transpose(1, 0, 2).reshape(
-                    n_rows, len(opers) * n_dt)
+                    cat[np.isnan(cat)] = 0
+                # one gather expands the train: column j of position g
+                # reads cat[:, off[didx[g]] + j]
+                w_train = widths[didx]
+                starts = np.repeat(off[didx], w_train)
+                seg0 = np.concatenate([[0], np.cumsum(w_train)[:-1]])
+                within = np.arange(int(w_train.sum())) \
+                    - np.repeat(seg0, w_train)
+                concat_coeffs = cat[:, starts + within]
                 mapping = {p: map_d[int(didx[p])]
                            for p in range(len(opers))}
                 return c_opers, c_idents, concat_coeffs, mapping
@@ -654,6 +669,7 @@ def _stack_real(items: Sequence) -> jnp.ndarray:
                 distinct.append(it)
             idx[i] = k
         if len(distinct) <= len(items) // 4:
+            _fastpath_hits['stack_real_gather'] += 1
             base = jnp.stack([jnp.asarray(d) for d in distinct])
             return jnp.take(base, jnp.asarray(idx), axis=0)
     return jnp.stack([jnp.asarray(pl) for pl in items])
@@ -684,6 +700,7 @@ def _stack_c(items: Sequence) -> C:
                 distinct.append(it)
             idx[i] = k
         if len(distinct) <= len(items) // 4:
+            _fastpath_hits['stack_c_gather'] += 1
             base = _stack_c(distinct)
             ind = jnp.asarray(idx)
             return C(jnp.take(base.re, ind, axis=0),

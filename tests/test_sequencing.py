@@ -1111,3 +1111,154 @@ class TestX2Y2Golden:
                 want.get_filter_function(omega, order=order,
                                          which='generalized'),
                 atol=1e-9)
+
+
+class TestScaleFastPaths:
+    """The three ``len > 64`` fast paths added for long heterogeneous
+    trains (VERDICT r4 item 2): the few-distinct Hamiltonian union,
+    the distinct-gather stacking, and the G > 64 single-matmul atomic
+    contraction.  Each test asserts the branch is actually ENTERED
+    (via the module fast-path counters) and that its result is exactly
+    (metadata) or numerically (device math) equal to the general path.
+    Reference semantics anchor:
+    /root/reference/filter_functions/pulse_sequence.py:1340-1483."""
+
+    @staticmethod
+    def _mixed_train(n_train=100, seed=11, infer_missing=True,
+                     conflicting=False):
+        """~n_train-position train drawn from 6 distinct cached-style
+        pulses with MIXED segment counts (1/2/3, like Clifford trains)
+        sharing control/noise operator ARRAYS (RB semantics).  Pulses
+        2 and 5 lack noise operator 'b'; the others carry it at the
+        constant 1.0 (inferable) or at conflicting constants."""
+        rng_l = np.random.default_rng(seed)
+        d = 2
+        from testutil import rand_herm_traceless
+        c_opers = rand_herm_traceless(d, 2, rng_l)
+        n_opers = rand_herm_traceless(d, 2, rng_l)
+        basis = ff.Basis.ggm(d)
+        distinct = []
+        for k, n_dt in enumerate([1, 2, 3, 2, 1, 3]):
+            c_coeffs = rng_l.standard_normal((2, n_dt))
+            if k in (2, 5):
+                nops = [[n_opers[0], np.ones(n_dt), 'a']]
+            else:
+                b_val = (2.0 + k) if conflicting else 1.0
+                nops = [[n_opers[0], np.ones(n_dt), 'a'],
+                        [n_opers[1], np.full(n_dt, b_val), 'b']]
+            distinct.append(ff.PulseSequence(
+                [[c_opers[0], c_coeffs[0], 'X'],
+                 [c_opers[1], c_coeffs[1], 'Y']],
+                nops, 1 - rng_l.random(n_dt), basis))
+        idx = rng_l.integers(0, len(distinct), size=n_train)
+        # make sure the operator-lacking pulses are actually present
+        idx[:2] = [2, 5]
+        return [distinct[i] for i in idx], distinct
+
+    def test_few_distinct_union_matches_general(self):
+        import copy
+        from filter_functions_tpu import sequencing
+
+        train, _ = self._mixed_train()
+        hits0 = sequencing._fastpath_hits['few_distinct']
+        fast, cmap_f, nmap_f = ff.concatenate_without_filter_function(
+            train, return_identifier_mappings=True)
+        assert sequencing._fastpath_hits['few_distinct'] > hits0, \
+            'few-distinct branch was not entered at G=100'
+
+        # general path: per-position copies defeat the id() dedup
+        gen, cmap_g, nmap_g = ff.concatenate_without_filter_function(
+            [copy.deepcopy(p) for p in train],
+            return_identifier_mappings=True)
+
+        np.testing.assert_array_equal(fast.c_oper_identifiers,
+                                      gen.c_oper_identifiers)
+        np.testing.assert_array_equal(fast.n_oper_identifiers,
+                                      gen.n_oper_identifiers)
+        np.testing.assert_array_equal(np.asarray(fast.c_coeffs),
+                                      np.asarray(gen.c_coeffs))
+        # noise row 'b' was NaN at pulses 2/5's segments and must be
+        # inferred to the constant 1.0 -- exactly like the general path
+        np.testing.assert_array_equal(np.asarray(fast.n_coeffs),
+                                      np.asarray(gen.n_coeffs))
+        np.testing.assert_array_equal(np.asarray(fast.dt),
+                                      np.asarray(gen.dt))
+        assert to_np(fast.c_opers) == pytest.approx(to_np(gen.c_opers))
+        assert to_np(fast.n_opers) == pytest.approx(to_np(gen.n_opers))
+        assert dict(cmap_f) == dict(cmap_g)
+        assert dict(nmap_f) == dict(nmap_g)
+        b_row = list(fast.n_oper_identifiers).index('b')
+        assert np.all(np.asarray(fast.n_coeffs)[b_row] == 1.0)
+
+    def test_few_distinct_union_conflicting_sensitivities_raise(self):
+        train, _ = self._mixed_train(conflicting=True)
+        with pytest.raises(ValueError, match='cannot infer'):
+            ff.concatenate_without_filter_function(train)
+
+    def test_stack_gather_matches_naive(self):
+        import jax.numpy as jnp
+        from filter_functions_tpu import sequencing
+        from filter_functions_tpu.cplx import asc
+
+        rng_l = np.random.default_rng(5)
+        base_r = [rng_l.standard_normal((3, 3)) for _ in range(8)]
+        base_c = [rng_l.standard_normal((3, 3))
+                  + 1j * rng_l.standard_normal((3, 3)) for _ in range(8)]
+        idx = rng_l.integers(0, 8, size=100)
+        items_r = [base_r[i] for i in idx]
+        base_asc = [asc(b) for b in base_c]
+        items_c = [base_asc[i] for i in idx]
+
+        hits0 = sequencing._fastpath_hits['stack_real_gather']
+        got_r = sequencing._stack_real(items_r)
+        assert sequencing._fastpath_hits['stack_real_gather'] > hits0
+        np.testing.assert_array_equal(
+            np.asarray(got_r), np.asarray(jnp.stack(
+                [jnp.asarray(x) for x in items_r])))
+
+        hits0 = sequencing._fastpath_hits['stack_c_gather']
+        got_c = sequencing._stack_c(items_c)
+        assert sequencing._fastpath_hits['stack_c_gather'] > hits0
+        want = np.stack([base_c[i] for i in idx])
+        np.testing.assert_array_equal(to_np(got_c), want)
+
+    def test_from_atomic_matmul_matches_einsum(self):
+        from filter_functions_tpu import numeric
+        from filter_functions_tpu.cplx import asc, ceinsum
+
+        rng_l = np.random.default_rng(9)
+        G, n_nops, d2, n_w = 80, 2, 4, 7
+
+        def c_rand(*shape):
+            return (rng_l.standard_normal(shape)
+                    + 1j * rng_l.standard_normal(shape))
+
+        phases = c_rand(G - 1, n_w)
+        ctrl = c_rand(G, n_nops, d2, n_w)
+        props = c_rand(G - 1, d2, d2)
+
+        hits0 = numeric._fastpath_hits['from_atomic_matmul']
+        got = numeric.calculate_control_matrix_from_atomic(
+            asc(phases), asc(ctrl), asc(props))
+        assert numeric._fastpath_hits['from_atomic_matmul'] > hits0, \
+            'G > 64 matmul branch was not entered'
+        want = asc(ctrl[0]) + ceinsum('go,gjko,gkl->jlo', asc(phases),
+                                      asc(ctrl[1:]), asc(props))
+        assert_allclose(to_np(got), to_np(want), rtol=1e-12, atol=1e-12)
+
+    def test_full_concatenate_mixed_train_at_scale(self):
+        """End-to-end: concatenate WITH cached filter functions over a
+        100-position mixed train (drives the few-distinct union, the
+        _stack_c/_stack_real gathers and the G > 64 atomic matmul in
+        one flow) against a from-scratch evaluation of the merged
+        pulse."""
+        train, distinct = self._mixed_train()
+        omega = np.linspace(0.1, 10, 21)
+        for p in distinct:
+            p.cache_filter_function(omega)
+        fast = ff.concatenate(train)
+        scratch = ff.concatenate_without_filter_function(train)
+        scratch.cache_filter_function(omega)
+        assert_allclose(to_np(fast.get_filter_function(omega)),
+                        to_np(scratch.get_filter_function(omega)),
+                        rtol=1e-9, atol=1e-9)
