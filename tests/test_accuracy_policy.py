@@ -197,6 +197,89 @@ def test_batched_fast_path_carries_no_escalation(monkeypatch):
 
 
 @pytest.mark.slow
+def test_batched_deep_policy_parity_ensemble(monkeypatch):
+    """VERDICT r4 item 7: the randomized deep-policy ensemble through
+    the PRODUCTION batched entry points -- ``batched_infidelity`` and
+    ``batched_error_transfer_matrix`` -- rather than the object API, so
+    the batch-hoisted escalation machinery ('stat' + scalar cond) is
+    itself distribution-tested.
+
+    For each deep-policy shape (K = G d^2 = 2048) a batch of seeded
+    random coefficient/dt draws over shared operators runs once under
+    the TPU production policy (FF_TPU_CONTRACT=ozaki) and once under
+    the native f64 oracle, through the same batched executable.
+    Criterion as in test_deep_policy_parity_ensemble: relative parity
+    <= 2.5e-7 (half the flagship-scale 1e-10-absolute equivalent) for
+    every (d, batch entry, spectrum).  The ETM leg additionally pins
+    the second-order f32 shift stage at the generator-scale tolerance
+    documented in functional._so_shift_dtype (error measured relative
+    to the deviation ||ETM - I||, the physical content of the map).
+    """
+    import jax.numpy as jnp
+
+    from filter_functions_tpu import functional
+
+    omega = np.geomspace(1e-2, 1e2, N_OMEGA)
+    spectra = _spectra(omega)
+    n_batch = 4
+
+    def batched_arrays(d, G):
+        rng = np.random.default_rng(2000 * d)
+        arr = rand_pulse_arrays(d, G, n_cops=2, n_nops=2, local_rng=rng)
+        p = functional.make_pulse_arrays(make_pulse(arr))
+        cc = np.stack([np.asarray(p.c_coeffs)] * n_batch)
+        cc *= rng.standard_normal((n_batch, 1, 1)) * 0.3 + 1.0
+        nc = np.stack([rng.random(p.n_coeffs.shape) for _ in range(n_batch)])
+        dts = np.stack([1 - rng.random(p.dt.shape) for _ in range(n_batch)])
+        return functional.PulseArrays(
+            p.c_opers, jnp.asarray(cc), p.n_opers, jnp.asarray(nc),
+            jnp.asarray(dts), p.basis), p
+
+    batches = {(d, G): batched_arrays(d, G) for d, G in SHAPES}
+
+    def run_all(contract):
+        monkeypatch.setenv('FF_TPU_CONTRACT', contract)
+        out = {}
+        for (d, G), (pb, p) in batches.items():
+            for name, s in spectra.items():
+                out[d, G, name] = np.asarray(functional.batched_infidelity(
+                    pb, jnp.asarray(s), jnp.asarray(omega))).sum(axis=-1)
+        return out
+
+    got, want = run_all('ozaki'), run_all('native')
+    worst = (0.0, None)
+    for key, w in want.items():
+        rel = (np.abs(got[key] - w) / np.abs(w)).max()
+        if rel > worst[0]:
+            worst = (rel, key)
+        assert rel <= REL_TOL, (
+            f'batched deep-policy parity breach at (d, G, spectrum)='
+            f'{key}: relative {rel:.2e} > {REL_TOL:.0e}')
+    print(f'batched_infidelity worst-case relative parity {worst[0]:.2e} '
+          f'at {worst[1]} (ceiling {REL_TOL:.0e})')
+
+    # ETM leg (second order: exercises the f32 shift stage + cumulant
+    # contraction + expm through the batched executable)
+    import filter_functions_tpu as ff_mod
+
+    def run_etm(contract, d, G):
+        monkeypatch.setenv('FF_TPU_CONTRACT', contract)
+        pb, _ = batches[d, G]
+        basis = ff_mod.Basis.ggm(d)
+        return np.asarray(functional.batched_error_transfer_matrix(
+            pb, spectra['one_over_f'], omega, basis, second_order=True))
+
+    for d, G in SHAPES[:2]:             # d=16 ETM: four_element_traces
+        got_etm = run_etm('ozaki', d, G)   # scale; covered by d=4, 8
+        want_etm = run_etm('native', d, G)
+        dev = np.abs(want_etm - np.eye(d * d)).max()
+        rel = np.abs(got_etm - want_etm).max() / dev
+        assert rel <= 5e-6, (
+            f'batched ETM (second order) parity breach at d={d}: '
+            f'{rel:.2e} of the deviation scale {dev:.2e}')
+
+
+@pytest.mark.slow
 def test_batched_escalation_on_cancellation_pathology(monkeypatch):
     """VERDICT r4 item 7: the CPMG-300 cancellation pathology through
     the PRODUCTION batched entry point.  With a low-frequency-weighted
