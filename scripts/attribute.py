@@ -11,6 +11,7 @@ backend.
 Run: python scripts/attribute.py [--cpu]
 """
 import argparse
+import os
 import sys
 import time
 from pathlib import Path
@@ -121,13 +122,15 @@ def main():
         ('ff+integrate', s_ff_integrate, iv['ctrl']),
     ]
 
-    def timed(fn, x, k):
+    def make_rep(fn, k):
         def rep(x):
             out = 0.0
             for i in range(k):
                 out = out + reduce_out(fn(jitter(x, 1e-14 * (i + 1))))
             return out
-        j = jax.jit(rep)
+        return jax.jit(rep)
+
+    def timed(j, x):
         jax.block_until_ready(j(x))
         times = []
         for i in range(4):
@@ -137,15 +140,44 @@ def main():
             times.append(time.perf_counter() - t0)
         return min(times)
 
-    print(f'{"stage":<18} {"marginal ms":>12}', flush=True)
+    def cost(j, x):
+        """XLA cost-analysis (flops, bytes accessed) of the compiled
+        replica executable; (nan, nan) when the backend doesn't
+        expose it."""
+        try:
+            ca = j.lower(x).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            return (float(ca.get('flops', float('nan'))),
+                    float(ca.get('bytes accessed', float('nan'))))
+        except Exception:
+            return float('nan'), float('nan')
+
+    # Single-chip peaks for the roofline columns (TPU v5e defaults:
+    # 197 TFLOP/s bf16 MXU, 819 GB/s HBM).  The flops column counts
+    # XLA's estimate, which maps int8-MXU digit matmuls to nominal
+    # flops, so %MXU is a lower bound for the int8-heavy contraction.
+    peak_flops = float(os.environ.get('FF_TPU_PEAK_FLOPS', 197e12))
+    peak_bw = float(os.environ.get('FF_TPU_PEAK_BW', 819e9))
+
+    print(f'{"stage":<18} {"marginal ms":>12} {"GFLOP":>9} '
+          f'{"%MXU":>7} {"GB":>8} {"%HBM":>7}', flush=True)
     total = 0.0
     for name, fn, x in stages:
-        t_lo = timed(fn, x, K_LO)
-        t_hi = timed(fn, x, K_HI)
-        marginal = (t_hi - t_lo) / (K_HI - K_LO) * 1e3
+        j_lo, j_hi = make_rep(fn, K_LO), make_rep(fn, K_HI)
+        t_lo, t_hi = timed(j_lo, x), timed(j_hi, x)
+        marginal = (t_hi - t_lo) / (K_HI - K_LO)
+        f_lo, b_lo = cost(j_lo, x)
+        f_hi, b_hi = cost(j_hi, x)
+        mflops = (f_hi - f_lo) / (K_HI - K_LO)
+        mbytes = (b_hi - b_lo) / (K_HI - K_LO)
+        pct_mxu = 100.0 * mflops / (marginal * peak_flops)
+        pct_hbm = 100.0 * mbytes / (marginal * peak_bw)
         total += marginal
-        print(f'{name:<18} {marginal:>12.2f}', flush=True)
-    print(f'{"TOTAL":<18} {total:>12.2f}', flush=True)
+        print(f'{name:<18} {marginal * 1e3:>12.2f} {mflops / 1e9:>9.2f} '
+              f'{pct_mxu:>7.1f} {mbytes / 1e9:>8.3f} {pct_hbm:>7.1f}',
+              flush=True)
+    print(f'{"TOTAL":<18} {total * 1e3:>12.2f}', flush=True)
 
 
 if __name__ == '__main__':
