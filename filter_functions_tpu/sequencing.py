@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import bisect
 import copy as _copy
+import functools
 from itertools import accumulate
 from typing import Any, Dict, Iterable, List, Mapping, Optional, Sequence, \
     Tuple, Union
@@ -36,6 +37,10 @@ __all__ = ['concatenate', 'concatenate_periodic', 'extend', 'remap',
 #: branches are actually entered at scale; no runtime semantics).
 from collections import Counter as _Counter
 _fastpath_hits = _Counter()
+
+#: Escape hatch for the single-dispatch cached-train concatenation
+#: program (tests A/B it against the eager multi-op formulation).
+_ENABLE_TRAIN_FUSED = True
 
 
 # -----------------------------------------------------------------------------
@@ -425,14 +430,20 @@ def concatenate(pulses: Iterable[PulseSequence],
         vals = {k: fn(p) for k, p in uniq_pulses.items()}
         return [vals[i] for i in pulse_ids]
 
-    if all(p.is_cached('total_propagator')
-           for p in uniq_pulses.values()):
-        newpulse.total_propagator = util.mdot(
-            _stack_c(per_pulse(lambda p: p.total_propagator)[::-1]))
+    def set_total_propagator():
+        # Deferred so the fused cached-train path can compute it
+        # inside its single compiled program instead of paying the
+        # eager stack+tree-product dispatches up front.
+        if (not newpulse.is_cached('total_propagator')
+                and all(p.is_cached('total_propagator')
+                        for p in uniq_pulses.values())):
+            newpulse.total_propagator = util.mdot(
+                _stack_c(per_pulse(lambda p: p.total_propagator)[::-1]))
 
     if calc_pulse_correlation_FF or calc_second_order_FF is True:
         calc_filter_function = True
     if calc_filter_function is False:
+        set_total_propagator()
         return newpulse
 
     # which noise opers are present in which pulse (post-remapping).
@@ -489,9 +500,11 @@ def concatenate(pulses: Iterable[PulseSequence],
                 raise ValueError('Cannot compute the pulse correlation '
                                  'filter functions; do not have the '
                                  'frequencies at which to evaluate.')
+            set_total_propagator()
             return newpulse
         if calc_filter_function is None and (
                 not equal_n_opers or not any(cached_ctrl_mat)):
+            set_total_propagator()
             return newpulse
         if any(cached_ctrl_mat):
             ind = int(np.nonzero(cached_ctrl_mat)[0][0])
@@ -501,6 +514,7 @@ def concatenate(pulses: Iterable[PulseSequence],
 
     if not equal_n_opers:
         # No cache reuse possible: compute afresh on the merged pulse.
+        set_total_propagator()
         newpulse.cache_filter_function(omega, which=which)
         return newpulse
 
@@ -586,6 +600,41 @@ def concatenate(pulses: Iterable[PulseSequence],
             # -- never materialize the (G, n_nops, d**2, n_omega) stack
             uniform_ctrl = ctrls[0]
             control_matrix_atomic = None
+        elif (_ENABLE_TRAIN_FUSED and not keep_steps
+              and len(pulses) > 64
+              and len(by_id) * 4 <= len(pulses)
+              and newpulse.basis.isnorm and newpulse.basis.isherm
+              and all(c.ndim == 3 for c in by_id.values())):
+            # Heterogeneous cached train of FEW distinct pulses
+            # (Clifford/RB sequences): run the entire device part as
+            # one compiled program over per-distinct stacks (see
+            # _concat_train_fused) -- the eager formulation pays one
+            # backend round trip per op, which dominates long-train
+            # wall time on the tunneled accelerator.
+            _fastpath_hits['concat_train_fused'] += 1
+            slot = {pid: k for k, pid in enumerate(by_id)}
+            didx = np.fromiter((slot[pid] for pid in pulse_ids),
+                               np.int32, len(pulse_ids))
+            ctrl_d = C(jnp.stack([c.re for c in by_id.values()]),
+                       jnp.stack([c.im for c in by_id.values()]))
+            props = [asc(uniq_pulses[pid].total_propagator)
+                     for pid in by_id]
+            prop_d = C(jnp.stack([q.re for q in props]),
+                       jnp.stack([q.im for q in props]))
+            tau_d = jnp.asarray([float(uniq_pulses[pid].tau)
+                                 for pid in by_id])
+            (control_matrix, total_prop, total_liou, total_phases,
+             filter_function) = _concat_train_fused(
+                ctrl_d, prop_d, tau_d, jnp.asarray(didx),
+                jnp.asarray(omega), newpulse.basis.dev, which)
+            if not newpulse.is_cached('total_propagator'):
+                newpulse.total_propagator = total_prop
+            newpulse.cache_total_phases(omega, total_phases)
+            newpulse.total_propagator_liouville = total_liou
+            newpulse.cache_control_matrix(omega, control_matrix)
+            newpulse.cache_filter_function(
+                omega, filter_function=filter_function, which=which)
+            return newpulse
         else:
             control_matrix_atomic = _stack_c(ctrls)
     else:
@@ -652,6 +701,56 @@ def concatenate(pulses: Iterable[PulseSequence],
 def _boundary_phases(omega: jnp.ndarray, t_bound: jnp.ndarray) -> C:
     """e^{i omega t_g} for all pulse boundaries, fused in one kernel."""
     return cexp(t_bound[:, None] * omega[None, :])
+
+
+@functools.partial(jax.jit, static_argnames='which')
+def _concat_train_fused(ctrl_d: C, prop_d: C, tau_d: jnp.ndarray,
+                        didx: jnp.ndarray, omega: jnp.ndarray,
+                        basis_dev: C, which: str):
+    """ONE compiled program for the heterogeneous cached-train
+    concatenation (the reference's standard-concatenation anchor,
+    pulse_sequence.py:1668-1887, for trains drawn from few distinct
+    cached pulses).
+
+    The eager formulation of this path -- boundary phases, per-distinct
+    Liouville representations, the cumulative Liouville product, the
+    K5 atomic sum, the total propagator tree and the filter function --
+    dispatches ~150 individual ops; on the tunneled accelerator backend
+    every eager op is a host round trip, so a 1e4-pulse train paid
+    ~0.5 s of pure dispatch for ~1 ms of arithmetic.  Fusing the whole
+    device part over the DISTINCT-pulse operands (gathers by train
+    index happen in-graph, where XLA fuses them into the consumers)
+    makes the warm train cost one dispatch.
+
+    Operands are per-distinct stacks: ctrl_d (D, n_nops, d^2, n_omega)
+    atomic control matrices, prop_d (D, d, d) total propagators,
+    tau_d (D,) durations; didx (G,) maps train position -> distinct
+    index.  The basis must be normalized and hermitian (checked by the
+    caller), so the Liouville representation is the real part of the
+    plain double conjugation expansion.
+
+    Returns (control_matrix, total_propagator,
+    total_propagator_liouville, total_phases, filter_function).
+    """
+    tau = tau_d[didx]
+    tcum = jnp.cumsum(tau)
+    phases = cexp(tcum[:-1][:, None] * omega[None, :])      # (G-1, W)
+    # distinct Liouville representations U_ij = tr(C_i U C_j U+)
+    conj_d = util.ceinsum('pba,ibc,pcd->piad', prop_d.conj(), basis_dev,
+                          prop_d)
+    liou_d = util.ceinsum('piab,jba->pij', conj_d, basis_dev).re
+    props_liouville = util.adot(liou_d[didx[:-1]])
+    control_matrix = numeric.calculate_control_matrix_from_atomic(
+        phases, ctrl_d[didx], props_liouville, which='total')
+    total_prop = util.mdot(prop_d[didx[::-1]])
+    conj_t = util.ceinsum('ba,ibc,cd->iad', total_prop.conj(), basis_dev,
+                          total_prop)
+    total_liou = util.ceinsum('iab,jba->ij', conj_t, basis_dev).re
+    total_phases = cexp(omega * tcum[-1])
+    filter_function = numeric.calculate_filter_function(control_matrix,
+                                                        which)
+    return (control_matrix, total_prop, total_liou, total_phases,
+            filter_function)
 
 
 def _stack_real(items: Sequence) -> jnp.ndarray:

@@ -1262,3 +1262,50 @@ class TestScaleFastPaths:
         assert_allclose(to_np(fast.get_filter_function(omega)),
                         to_np(scratch.get_filter_function(omega)),
                         rtol=1e-9, atol=1e-9)
+
+    def test_fused_train_matches_eager_path(self, monkeypatch):
+        """The single-dispatch cached-train program (_concat_train_fused)
+        must agree with the eager multi-op formulation on every cached
+        byproduct: control matrix, filter function, total propagator,
+        its Liouville representation, and the total phases (reference
+        semantics: pulse_sequence.py:1668-1887)."""
+        from math import pi
+        from filter_functions_tpu import sequencing
+
+        rng_l = np.random.default_rng(23)
+        X, Y, Z = ff.util.paulis[1:]
+        omega = np.geomspace(0.1, 10, 17)
+        distinct = []
+        for n_dt in (1, 2, 3, 2, 1, 3):
+            c = pi * rng_l.standard_normal((2, n_dt))
+            p = ff.PulseSequence(
+                [[X / 2, c[0], 'X'], [Y / 2, c[1], 'Y']],
+                [[Z / 2, np.ones(n_dt), 'Z']], 0.5 + rng_l.random(n_dt))
+            p.cache_filter_function(omega)
+            distinct.append(p)
+        idx = rng_l.integers(0, len(distinct), size=90)
+        train = [distinct[i] for i in idx]
+
+        hits0 = sequencing._fastpath_hits['concat_train_fused']
+        fused = ff.concatenate(train)
+        assert sequencing._fastpath_hits['concat_train_fused'] == hits0 + 1
+
+        monkeypatch.setattr(sequencing, '_ENABLE_TRAIN_FUSED', False)
+        eager = ff.concatenate(train)
+        assert sequencing._fastpath_hits['concat_train_fused'] == hits0 + 1
+
+        assert_allclose(to_np(fused.get_control_matrix(omega)),
+                        to_np(eager.get_control_matrix(omega)),
+                        rtol=1e-10, atol=1e-10)
+        assert_allclose(to_np(fused.get_filter_function(omega)),
+                        to_np(eager.get_filter_function(omega)),
+                        rtol=1e-10, atol=1e-10)
+        assert_allclose(to_np(fused.total_propagator),
+                        to_np(eager.total_propagator),
+                        rtol=1e-12, atol=1e-12)
+        assert_allclose(np.asarray(fused.total_propagator_liouville),
+                        np.asarray(eager.total_propagator_liouville),
+                        rtol=1e-12, atol=1e-12)
+        assert_allclose(to_np(fused.get_total_phases(omega)),
+                        to_np(eager.get_total_phases(omega)),
+                        rtol=1e-12, atol=1e-12)
