@@ -677,6 +677,16 @@ def config_clifford_train(iters=3, n_pulses=10000, n_distinct=24,
                 [[Z / 2, np.ones(len(dt)), 'Z']], dt)
             p.cache_filter_function(omega)
             distinct.append(p)
+        # "pre-cached" means MATERIALIZED: drain the async caching
+        # pipelines so the timed region doesn't absorb their backlog
+        # (the reference anchor's members are fully built before its
+        # timing cell runs).  One aggregated fetch: per-leaf fetches
+        # cost a full remote execution round EACH on this backend.
+        import jax
+        leaves = [lf for p in distinct
+                  for lf in jax.tree.leaves([p.get_filter_function(omega),
+                                             p.total_propagator])]
+        _block(sum(lf.sum() for lf in leaves))
         return [distinct[i] for i in train_idx]
 
     def run(train):

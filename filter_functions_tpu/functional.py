@@ -107,9 +107,9 @@ def error_transfer_matrix(p: PulseArrays, spectrum, omega, basis: Basis,
     s = jnp.asarray(spectrum.real)
     s_im = jnp.asarray(spectrum.imag) if np.iscomplexobj(spectrum) \
         else None
-    tg, td = numeric._cumulant_trace_combos(basis)
-    return _etm_core(p, s, s_im, jnp.asarray(omega), jnp.asarray(tg),
-                     jnp.asarray(td) if second_order else None,
+    tg, td = numeric._cumulant_trace_combos_dev(basis)
+    return _etm_core(p, s, s_im, jnp.asarray(omega), tg,
+                     td if second_order else None,
                      second_order, tuple(range(n_nops)),
                      _so_shift_dtype())
 
@@ -212,9 +212,9 @@ def batched_error_transfer_matrix(p: PulseArrays, spectrum, omega,
     s = jnp.asarray(spectrum.real)
     s_im = jnp.asarray(spectrum.imag) if np.iscomplexobj(spectrum) \
         else None
-    tg, td = numeric._cumulant_trace_combos(basis)
-    return _etm_batched(p, s, s_im, jnp.asarray(omega), jnp.asarray(tg),
-                        jnp.asarray(td) if second_order else None,
+    tg, td = numeric._cumulant_trace_combos_dev(basis)
+    return _etm_batched(p, s, s_im, jnp.asarray(omega), tg,
+                        td if second_order else None,
                         second_order, tuple(range(n_nops)),
                         _so_shift_dtype())
 

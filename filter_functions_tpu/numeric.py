@@ -2225,6 +2225,17 @@ def _cumulant_trace_combos(basis: Basis):
     return basis._cached('cumulant_trace_combos', compute)
 
 
+def _cumulant_trace_combos_dev(basis: Basis):
+    """Device-resident copies of :func:`_cumulant_trace_combos`,
+    cached on the basis: the (d^2)^4 combo tensors are ~0.5 MB each at
+    d=4 and re-uploading them on every batched entry-point call costs
+    a host->device transfer round per call on a tunneled backend."""
+    def upload():
+        tg, td = _cumulant_trace_combos(basis)
+        return (jnp.asarray(tg), jnp.asarray(td))
+    return basis._cached('cumulant_trace_combos_dev', upload)
+
+
 def _cumulant_contract_core(coeff, combo):
     """K15 trace contraction Gamma/Delta x four-element-trace combos.
 

@@ -545,32 +545,6 @@ def concatenate(pulses: Iterable[PulseSequence],
                                        which=which)
         return newpulse
 
-    # cumulative phase factors e^{i w t_{g-1}} of pulse boundaries.
-    # Each pulse's total phase is e^{i w tau} (pulse_sequence.py:1056),
-    # so the cumulative product has the closed form e^{i w cumsum(tau)}
-    # -- one cexp, no per-pulse dispatch and no cumprod scan (and less
-    # rounding than the product for long trains).
-    t_bound = np.cumsum(per_pulse(lambda p: p.tau)[:-1])
-    phases = _boundary_phases(jnp.asarray(omega),
-                              jnp.asarray(t_bound))     # (G-1, n_omega) C
-
-    # Liouville transfer matrices of the cumulative boundary propagators
-    props_liouville = per_pulse(
-        lambda p: p.total_propagator_liouville)[:-1]
-    if any(isinstance(pl, C) for pl in props_liouville):
-        propagators_liouville = util.adot(_stack_c(props_liouville))
-    else:
-        if len(props_liouville) > 1 and all(
-                pl is props_liouville[0] for pl in props_liouville):
-            # concatenate([p] * G): broadcast instead of a G-ary stack
-            # (one eager op per pulse otherwise)
-            first = jnp.asarray(props_liouville[0])
-            stacked = jnp.broadcast_to(
-                first, (len(props_liouville),) + first.shape)
-        else:
-            stacked = _stack_real(props_liouville)
-        propagators_liouville = util.adot(stacked)
-
     # atomic control matrices, sorted into the new noise-operator order
     n_nops_new = len(newpulse.n_opers)
     n_w = len(np.asarray(omega))
@@ -615,17 +589,19 @@ def concatenate(pulses: Iterable[PulseSequence],
             slot = {pid: k for k, pid in enumerate(by_id)}
             didx = np.fromiter((slot[pid] for pid in pulse_ids),
                                np.int32, len(pulse_ids))
-            ctrl_d = C(jnp.stack([c.re for c in by_id.values()]),
-                       jnp.stack([c.im for c in by_id.values()]))
-            props = [asc(uniq_pulses[pid].total_propagator)
-                     for pid in by_id]
-            prop_d = C(jnp.stack([q.re for q in props]),
-                       jnp.stack([q.im for q in props]))
-            tau_d = jnp.asarray([float(uniq_pulses[pid].tau)
-                                 for pid in by_id])
+            # per-distinct operands go in UNstacked -- the stacks form
+            # inside the compiled program, so the caller dispatches
+            # exactly one device call (each eager stack op costs a
+            # backend round trip at materialization on a tunneled
+            # accelerator)
+            ctrls_t = tuple(by_id.values())
+            props_t = tuple(asc(uniq_pulses[pid].total_propagator)
+                            for pid in by_id)
+            tau_d = np.array([float(uniq_pulses[pid].tau)
+                              for pid in by_id])
             (control_matrix, total_prop, total_liou, total_phases,
              filter_function) = _concat_train_fused(
-                ctrl_d, prop_d, tau_d, jnp.asarray(didx),
+                ctrls_t, props_t, jnp.asarray(tau_d), jnp.asarray(didx),
                 jnp.asarray(omega), newpulse.basis.dev, which)
             if not newpulse.is_cached('total_propagator'):
                 newpulse.total_propagator = total_prop
@@ -658,6 +634,37 @@ def concatenate(pulses: Iterable[PulseSequence],
                 atomic_im[i, missing] = np.asarray(extra.im)
         control_matrix_atomic = C(jnp.asarray(atomic_re),
                                   jnp.asarray(atomic_im))
+
+    # cumulative phase factors e^{i w t_{g-1}} of pulse boundaries.
+    # Each pulse's total phase is e^{i w tau} (pulse_sequence.py:1056),
+    # so the cumulative product has the closed form e^{i w cumsum(tau)}
+    # -- one cexp, no per-pulse dispatch and no cumprod scan (and less
+    # rounding than the product for long trains).  Computed AFTER the
+    # fused-train branch above: that path derives the phases and the
+    # cumulative Liouville product inside its single compiled program,
+    # and the ~6 eager dispatches per distinct pulse the lazy
+    # total_propagator_liouville properties cost here would dominate
+    # its wall time on a tunneled backend.
+    t_bound = np.cumsum(per_pulse(lambda p: p.tau)[:-1])
+    phases = _boundary_phases(jnp.asarray(omega),
+                              jnp.asarray(t_bound))     # (G-1, n_omega) C
+
+    # Liouville transfer matrices of the cumulative boundary propagators
+    props_liouville = per_pulse(
+        lambda p: p.total_propagator_liouville)[:-1]
+    if any(isinstance(pl, C) for pl in props_liouville):
+        propagators_liouville = util.adot(_stack_c(props_liouville))
+    else:
+        if len(props_liouville) > 1 and all(
+                pl is props_liouville[0] for pl in props_liouville):
+            # concatenate([p] * G): broadcast instead of a G-ary stack
+            # (one eager op per pulse otherwise)
+            first = jnp.asarray(props_liouville[0])
+            stacked = jnp.broadcast_to(
+                first, (len(props_liouville),) + first.shape)
+        else:
+            stacked = _stack_real(props_liouville)
+        propagators_liouville = util.adot(stacked)
 
     if not newpulse.is_cached('total_propagator'):
         newpulse.total_propagator = util.mdot(
@@ -704,7 +711,7 @@ def _boundary_phases(omega: jnp.ndarray, t_bound: jnp.ndarray) -> C:
 
 
 @functools.partial(jax.jit, static_argnames='which')
-def _concat_train_fused(ctrl_d: C, prop_d: C, tau_d: jnp.ndarray,
+def _concat_train_fused(ctrls_t, props_t, tau_d: jnp.ndarray,
                         didx: jnp.ndarray, omega: jnp.ndarray,
                         basis_dev: C, which: str):
     """ONE compiled program for the heterogeneous cached-train
@@ -722,16 +729,21 @@ def _concat_train_fused(ctrl_d: C, prop_d: C, tau_d: jnp.ndarray,
     index happen in-graph, where XLA fuses them into the consumers)
     makes the warm train cost one dispatch.
 
-    Operands are per-distinct stacks: ctrl_d (D, n_nops, d^2, n_omega)
-    atomic control matrices, prop_d (D, d, d) total propagators,
-    tau_d (D,) durations; didx (G,) maps train position -> distinct
-    index.  The basis must be normalized and hermitian (checked by the
-    caller), so the Liouville representation is the real part of the
-    plain double conjugation expansion.
+    Operands are per-distinct tuples (stacked IN-graph, where the
+    stacks fuse into their consumers): ctrls_t, D atomic control
+    matrices C(n_nops, d^2, n_omega); props_t, D total propagators
+    C(d, d); tau_d (D,) durations; didx (G,) maps train position ->
+    distinct index.  The basis must be normalized and hermitian
+    (checked by the caller), so the Liouville representation is the
+    real part of the plain double conjugation expansion.
 
     Returns (control_matrix, total_propagator,
     total_propagator_liouville, total_phases, filter_function).
     """
+    ctrl_d = C(jnp.stack([c.re for c in ctrls_t]),
+               jnp.stack([c.im for c in ctrls_t]))
+    prop_d = C(jnp.stack([q.re for q in props_t]),
+               jnp.stack([q.im for q in props_t]))
     tau = tau_d[didx]
     tcum = jnp.cumsum(tau)
     phases = cexp(tcum[:-1][:, None] * omega[None, :])      # (G-1, W)
