@@ -207,11 +207,23 @@ def batched_error_transfer_matrix(p: PulseArrays, spectrum, omega,
 
     Output shape (batch, d^2, d^2)."""
     n_nops = p.n_opers.shape[0]
-    spectrum = util.parse_spectrum(np.asarray(spectrum), omega,
-                                   np.arange(n_nops))
-    s = jnp.asarray(spectrum.real)
-    s_im = jnp.asarray(spectrum.imag) if np.iscomplexobj(spectrum) \
-        else None
+    if (isinstance(spectrum, jax.Array)
+            and not jnp.issubdtype(spectrum.dtype, jnp.complexfloating)
+            and spectrum.ndim <= 2):
+        # Device-resident real diagonal spectrum: pass through without
+        # the host round trip np.asarray would force (production
+        # callers stage the loop-constant spectrum once; re-fetching
+        # and re-uploading it every call costs two transfer rounds on
+        # a tunneled backend).  Shape errors surface at trace time.
+        s = jnp.broadcast_to(spectrum, (n_nops,) * (2 - spectrum.ndim)
+                             + spectrum.shape)
+        s_im = None
+    else:
+        spectrum = util.parse_spectrum(np.asarray(spectrum), omega,
+                                       np.arange(n_nops))
+        s = jnp.asarray(spectrum.real)
+        s_im = jnp.asarray(spectrum.imag) if np.iscomplexobj(spectrum) \
+            else None
     tg, td = numeric._cumulant_trace_combos_dev(basis)
     return _etm_batched(p, s, s_im, jnp.asarray(omega), tg,
                         td if second_order else None,
