@@ -128,21 +128,32 @@ def build_inputs():
     # TPU backend it would cost minutes of compile round trips.
     with config.on_host():
         pulse = qft.qft_pulse(N_QUBITS)
-        p = functional.make_pulse_arrays(pulse)
-    p = jax.device_put(p, jax.devices()[0])
+        ph = functional.make_pulse_arrays(pulse)
+    # Batched operands are assembled from the HOST-backend leaves and
+    # shipped in ONE device_put: reading a leaf back from the tunneled
+    # accelerator (np.asarray of a device array) serializes on every
+    # queued per-leaf transfer -- measured 40-200+ s at cold start,
+    # which in round 4 silently dominated the bench's startup.
+    c_coeffs = np.asarray(ph.c_coeffs)
+    n_coeffs = np.asarray(ph.n_coeffs)
+    dt = np.asarray(ph.dt)
     omega = np.geomspace(1e-2, 1e2, N_OMEGA)
     spectrum = 1e-4 / omega
     rng = np.random.default_rng(0)
-    # batch of perturbed pulses (realistic optimal-control population)
+    # batch of perturbed pulses (realistic optimal-control population);
+    # row 0 stays unperturbed so the parity figure comes from the
+    # batched production path itself (no second compiled program)
     scales = 1 + 0.05 * rng.standard_normal((BATCH, 1, 1))
-    batched = functional.PulseArrays(
-        p.c_opers,
-        jnp.asarray(np.asarray(p.c_coeffs)[None] * scales),
-        p.n_opers,
-        jnp.broadcast_to(p.n_coeffs, (BATCH,) + p.n_coeffs.shape),
-        jnp.broadcast_to(p.dt, (BATCH,) + p.dt.shape),
-        p.basis,
+    scales[0] = 1.0
+    batched_host = functional.PulseArrays(
+        ph.c_opers,
+        c_coeffs[None] * scales,
+        ph.n_opers,
+        np.broadcast_to(n_coeffs, (BATCH,) + n_coeffs.shape),
+        np.broadcast_to(dt, (BATCH,) + dt.shape),
+        ph.basis,
     )
+    p, batched = jax.device_put((ph, batched_host), jax.devices()[0])
     return pulse, p, batched, omega, spectrum
 
 
@@ -155,7 +166,7 @@ def time_ours(batched, omega, spectrum, iters=5):
         b, s, o, chunk_size=min(CHUNK, BATCH)))
     omega_j = jnp.asarray(omega)
     spectrum_j = jnp.asarray(spectrum)
-    out = _block(fn(batched, spectrum_j, omega_j))  # compile
+    out0 = _block(fn(batched, spectrum_j, omega_j))  # compile
     # Distinct inputs per iteration (ulp-scale jitter) and a block per
     # iteration: defeats any backend-side result memoization / async
     # pipelining that would otherwise fake a fast repeat.
@@ -163,9 +174,12 @@ def time_ours(batched, omega, spectrum, iters=5):
     for i in range(iters):
         s_i = _block(spectrum_j * (1.0 + _jitter_eps(i)))
         t0 = time.perf_counter()
-        out = _block(fn(batched, s_i, omega_j))
+        _block(fn(batched, s_i, omega_j))
         times.append(time.perf_counter() - t0)
-    return _median_time(times) / BATCH, np.asarray(out)
+    # out0 is the UNjittered evaluation: row 0 is the flagship pulse
+    # itself (build_inputs pins scales[0] = 1), so the caller's parity
+    # figure tests the batched production path directly.
+    return _median_time(times) / BATCH, np.asarray(out0)
 
 
 def _pallas_dword_bitexact():
@@ -203,7 +217,7 @@ def config_qft(iters=5):
     from filter_functions_tpu import functional
 
     pulse, p, batched, omega, spectrum = build_inputs()
-    seconds_per_pulse, _ = time_ours(batched, omega, spectrum, iters)
+    seconds_per_pulse, infids = time_ours(batched, omega, spectrum, iters)
 
     basis_np = pulse.basis.np
     host_arrays = (pulse.c_opers, pulse.c_oper_identifiers,
@@ -222,9 +236,10 @@ def config_qft(iters=5):
         ref_infid = build_and_eval(1.0)  # warm
         ref_seconds = _min_time(
             lambda i: build_and_eval(1.0 + 1e-3 * i), 3)
-        ours_infid = np.asarray(jax.jit(functional.infidelity)(
-            p, jnp.asarray(spectrum), jnp.asarray(omega)))
-        parity = float(np.abs(ours_infid - ref_infid).max())
+        # Parity through the timed batched entry point itself (row 0 is
+        # the unperturbed flagship pulse) -- no second compiled program,
+        # and the contract is enforced on the production path.
+        parity = float(np.abs(infids[0] - ref_infid).max())
     except Exception as err:
         print(f'# reference timing unavailable: {err}', file=sys.stderr)
         ref_seconds, parity = None, float('nan')
